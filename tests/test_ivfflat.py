@@ -1,0 +1,75 @@
+import numpy as np
+import pytest
+
+from vers_tpu.config import IVFFlatConfig
+from vers_tpu.index.ivfflat import IVFFlatIndex
+from vers_tpu.utils.harness import exhaustive_batch, recall_at_k
+
+
+@pytest.fixture(scope="module")
+def built(request):
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(8, 16)).astype(np.float32) * 5
+    assign = rng.integers(0, 8, size=600)
+    x = (centers[assign] + rng.normal(size=(600, 16))).astype(np.float32)
+    idx = IVFFlatIndex.build_index(8, 2, 10, x)
+    return x, idx
+
+
+def test_build_structure(built):
+    x, idx = built
+    assert idx.num_centroids == 8
+    assert sum(len(c) for c in idx._ids) == 600
+    assert idx._assignments.shape == (600,)
+    # ids lists invert assignments
+    for c, members in enumerate(idx._ids):
+        for m in members[:5]:
+            assert idx._assignments[m] == c
+
+
+def test_search_batch_recall(built):
+    x, idx = built
+    rng = np.random.default_rng(4)
+    q = x[rng.integers(0, 600, size=32)] + 0.01 * rng.normal(size=(32, 16)).astype(np.float32)
+    truth = exhaustive_batch(x, q, 10)
+    res = idx.search_batch(q, 10, nprobe=4)
+    assert recall_at_k(res.ids, truth) > 0.9
+    res1 = idx.search_batch(q, 10, nprobe=1)
+    assert recall_at_k(res1.ids, truth) > 0.5
+    # distances ascending
+    d = res.distances
+    assert (np.diff(d, axis=1) >= -1e-6).all()
+
+
+def test_search_single_adaptive_parity(built):
+    x, idx = built
+    q = x[7]
+    res = idx.search_approximate(q, 5)
+    assert len(res) == 5
+    assert res[0][0] == 7 and res[0][1] < 1e-6
+    # nearest cluster members only (reference scans one cluster when it
+    # has >= top_k members)
+    c = int(idx._assignments[7])
+    assert all(r[0] in idx._ids[c] for r in res)
+
+
+def test_add_ignores_caller_vec_id(built):
+    x, idx = built
+    n_before = len(idx._assignments)
+    v = np.random.default_rng(5).normal(size=16).astype(np.float32)
+    idx.add(v, vec_id=123456)  # quirk parity ivfflat.rs:209
+    assert len(idx._assignments) == n_before + 1
+    got = idx.search_approximate(v, 1)
+    assert got[0][0] == n_before
+
+
+def test_roundtrip(tmp_path, built):
+    x, idx = built
+    p = str(tmp_path / "ivf.index")
+    idx.save_index(p)
+    re = IVFFlatIndex.load_index(p, dim=16)
+    assert re.num_centroids == idx.num_centroids
+    np.testing.assert_array_equal(re._assignments, idx._assignments)
+    np.testing.assert_allclose(re._centroids, idx._centroids)
+    q = x[3]
+    assert re.search_approximate(q, 5) == idx.search_approximate(q, 5)

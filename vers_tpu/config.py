@@ -1,0 +1,69 @@
+"""Configuration dataclasses for vers_tpu.
+
+The reference has no config system at all — every hyperparameter is a
+positional literal at a call site (e.g. HNSW ``(12, 100, 32, 24)`` at
+`vers/src/main.rs:70-79`). We promote them to explicit dataclasses so
+benchmarks / CLIs can sweep them, while keeping the same positional
+constructor signatures on the index classes for parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class FlatConfig:
+    """Exact brute-force index (the `search_exhaustive` equivalent,
+    `vers/src/utils.rs:68-82`, promoted to a first-class index)."""
+
+    metric: str = "sq_euclidean"  # or "cosine"
+    dtype: str = "float32"  # compute dtype for the distance matmul
+    chunk_size: int = 16384  # corpus rows per fused-scan step
+
+
+@dataclasses.dataclass(frozen=True)
+class IVFFlatConfig:
+    """IVFFlat: k-means partitioning + nearest-cluster scan
+    (`vers/src/indexes/ivfflat.rs`)."""
+
+    num_clusters: int = 64
+    num_attempts: int = 2  # random restarts, best by k-means cost
+    max_iterations: int = 10  # Lloyd iteration cap
+    # The reference has no nprobe: its search adaptively scans more
+    # clusters only while fewer than top_k candidates were found
+    # (`ivfflat.rs:166-195`). nprobe=0 selects that adaptive behavior;
+    # nprobe>=1 scans a fixed number of nearest clusters (better recall,
+    # and the BASELINE.json config 4 sweep).
+    nprobe: int = 0
+    seed: int = 0
+    dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class LSHConfig:
+    """Random-hyperplane projection forest (Annoy-style), called "LSH"
+    in the reference (`vers/src/indexes/lsh.rs`)."""
+
+    num_trees: int = 8
+    max_node_size: int = 100
+    seed: int = 0
+    dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class HNSWConfig:
+    """HNSW graph index (`vers/src/indexes/hnsw.rs`). Build runs on
+    host (graph construction is inherently sequential); queries run as a
+    batched beam scan on TPU."""
+
+    num_layers: int = 8
+    ef_construction: int = 100
+    ef_search: int = 32
+    num_neighbours: int = 16  # M; layer 0 uses 2*M (`hnsw.rs:400-404`)
+    seed: int = 0
+    dtype: str = "float32"
+    # Cap on the padded adjacency width for the TPU beam scan. None →
+    # 2*num_neighbours (the layer-0 degree bound).
+    max_degree: Optional[int] = None

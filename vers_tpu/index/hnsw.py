@@ -1,0 +1,427 @@
+"""HNSW index — rebuild of `vers/src/indexes/hnsw.rs`.
+
+Construction is inherently sequential graph surgery (one node at a
+time, `hnsw.rs:348-432`), so it runs on host with numpy — a faithful
+port of the reference algorithm including its quirks (noted inline).
+Queries are where the TPU wins: the multi-layer greedy descent becomes
+a batched beam scan over padded per-layer adjacency matrices
+(`vers_tpu.ops.beam`), processing thousands of queries per launch.
+
+Distances are cosine distance ``1 - dot`` on (assumed) normalized
+vectors — parity with `cosine_similarity_simd` (`base.rs:158-223`).
+
+Quirk parity (all preserved, see `search_approximate`):
+- the entry point is an arbitrary node of the top layer
+  (`hnsw.rs:516`); we use the first-inserted for determinism,
+- the top layer itself is never searched at query time; with
+  num_layers == 1 the reference returns no results (`hnsw.rs:526`),
+- the neighbour-selection loop admits up to M+1 neighbours
+  (`hnsw.rs:126` checks ``> num_neighbours`` after adding),
+- layer 0 uses 2*M neighbours (`hnsw.rs:400-404`).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import deque
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from vers_tpu.config import HNSWConfig
+from vers_tpu.core import round_up
+from vers_tpu.index.base import Index
+from vers_tpu.io.bincode import Reader, Writer
+from vers_tpu.models.candidates import AdjacencyItem, DistanceCandidatePair, SearchResult
+from vers_tpu.ops.beam import beam_search_layer
+
+
+class _Layer:
+    __slots__ = ("adjacency",)
+
+    def __init__(self):
+        self.adjacency: Dict[int, AdjacencyItem] = {}
+
+
+class HNSWIndex(Index):
+    def __init__(
+        self,
+        ef_construction: int,
+        ef_search: int,
+        num_layers: int,
+        num_neighbours: int,
+        config: Optional[HNSWConfig] = None,
+        seed: int = 0,
+    ):
+        """Parity signature with `HNSWIndex::new` (`hnsw.rs:310-333`)."""
+        self.config = config or HNSWConfig(
+            num_layers=num_layers,
+            ef_construction=ef_construction,
+            ef_search=ef_search,
+            num_neighbours=num_neighbours,
+            seed=seed,
+        )
+        self.ef_construction = int(ef_construction)
+        self.ef_search = int(ef_search)
+        self.num_neighbours = int(num_neighbours)
+        self.layers: List[_Layer] = [_Layer() for _ in range(num_layers)]
+        # parity with `hnsw.rs:323`: 1/ln(M)
+        self.layer_multiplier = 1.0 / math.log(num_neighbours)
+        self.id_to_vec: Dict[int, np.ndarray] = {}
+        self._rng = np.random.default_rng(self.config.seed)
+        self.dim = 0
+        self._device_cache = None
+
+    # -- host-side construction (faithful port) -------------------------
+
+    @staticmethod
+    def _dist(a: np.ndarray, b: np.ndarray) -> float:
+        return float(1.0 - np.dot(a, b))
+
+    def _layer_search(
+        self, layer: _Layer, entry_id: int, query: np.ndarray, ef: int
+    ) -> List[DistanceCandidatePair]:
+        """Port of `HNSWLayer::search` (`hnsw.rs:242-307`): BFS queue +
+        ef-bounded max-heap. Returns candidates in DESCENDING distance
+        order (largest first), like the reference's unfold-pops."""
+        import heapq
+
+        queue = deque([entry_id])
+        visited = set()
+        # max-heap via negated distances: (-dist, tie, id)
+        heap: List[Tuple[float, int, int]] = []
+        tie = 0
+        heapq.heappush(
+            heap, (-self._dist(self.id_to_vec[entry_id], query), tie, entry_id)
+        )
+        while queue:
+            node = queue.popleft()
+            visited.add(node)
+            adj = layer.adjacency.get(node)
+            if adj is None:
+                continue
+            for nb in adj.neighbours:
+                if nb in visited:
+                    continue
+                visited.add(nb)
+                d = self._dist(query, self.id_to_vec[nb])
+                if len(heap) < ef:
+                    tie += 1
+                    queue.append(nb)
+                    heapq.heappush(heap, (-d, tie, nb))
+                elif d < -heap[0][0]:
+                    tie += 1
+                    queue.append(nb)
+                    heapq.heapreplace(heap, (-d, tie, nb))
+        out = []
+        while heap:
+            nd, _, nid = heapq.heappop(heap)
+            out.append(DistanceCandidatePair(nid, -nd))
+        return out  # descending distance
+
+    def _heuristic_neighbour_selection(
+        self,
+        target_node: int,
+        candidates_desc: List[DistanceCandidatePair],
+        m: int,
+    ) -> List[DistanceCandidatePair]:
+        """Port of `_heuristic_neighbour_selection` (`hnsw.rs:104-164`),
+        including the off-by-one that admits m+1 neighbours."""
+        neighbours: List[DistanceCandidatePair] = []
+        for i in range(len(candidates_desc) - 1, -1, -1):  # closest first
+            if len(neighbours) > m:
+                break
+            c = candidates_desc[i]
+            if c.candidate_id == target_node:
+                continue
+            cv = self.id_to_vec[c.candidate_id]
+            if neighbours:
+                should_add = True
+                for nb in neighbours:
+                    if c.distance > self._dist(cv, self.id_to_vec[nb.candidate_id]):
+                        should_add = False
+                        break
+                if should_add:
+                    neighbours.append(c)
+            else:
+                neighbours.append(c)
+        return neighbours
+
+    def _add_edge(self, layer: _Layer, u: int, v: DistanceCandidatePair) -> None:
+        """Undirected edge insert (`hnsw.rs:49-82`)."""
+        for a, b in ((u, v.candidate_id), (v.candidate_id, u)):
+            item = layer.adjacency.get(a)
+            if item is None:
+                item = AdjacencyItem()
+                layer.adjacency[a] = item
+            item.insert(b, v.distance)
+
+    def _trim_neighbours(
+        self, layer: _Layer, selected: List[DistanceCandidatePair], m: int
+    ) -> None:
+        """Port of `_trim_neighbours` (`hnsw.rs:166-198`)."""
+        for nb in selected:
+            item = layer.adjacency[nb.candidate_id]
+            if len(item) > m:
+                vecs_desc = item.consume_heap_to_vec()
+                updated = self._heuristic_neighbour_selection(
+                    nb.candidate_id, vecs_desc, m
+                )
+                layer.adjacency[nb.candidate_id] = AdjacencyItem.create_from_pairs(
+                    updated
+                )
+
+    def _layer_add_node(
+        self,
+        layer: _Layer,
+        candidates_desc: List[DistanceCandidatePair],
+        target: int,
+        m: int,
+    ) -> None:
+        """Port of `add_node` (`hnsw.rs:200-240`)."""
+        if not candidates_desc:
+            layer.adjacency[target] = AdjacencyItem()
+            return
+        selected = self._heuristic_neighbour_selection(target, candidates_desc, m)
+        for nb in selected:
+            self._add_edge(layer, target, nb)
+        self._trim_neighbours(layer, selected, m)
+
+    def _get_insertion_layer(self) -> int:
+        """Port of `get_insertion_layer` (`hnsw.rs:335-346`)."""
+        u = float(self._rng.random())
+        u = max(u, 1e-12)
+        l = int(-math.log(u) * self.layer_multiplier)
+        return min(l, len(self.layers) - 1)
+
+    def _add_node(self, embedding: np.ndarray, embedding_id: int) -> None:
+        """Port of `_add_node` (`hnsw.rs:348-432`)."""
+        emb = np.asarray(embedding, dtype=np.float32).reshape(-1)
+        if not self.dim:
+            self.dim = emb.shape[0]
+        self.id_to_vec[embedding_id] = emb
+        self._device_cache = None
+
+        top_layer = self.layers[-1]
+        insertion_layer = self._get_insertion_layer()
+
+        if top_layer.adjacency:
+            entry = next(iter(top_layer.adjacency))
+            for layer_idx in range(len(self.layers) - 1, insertion_layer, -1):
+                candidates = self._layer_search(
+                    self.layers[layer_idx], entry, emb, self.ef_construction
+                )
+                entry = candidates[-1].candidate_id  # best = last (desc)
+            for layer_idx in range(insertion_layer, -1, -1):
+                layer = self.layers[layer_idx]
+                candidates = self._layer_search(
+                    layer, entry, emb, self.ef_construction
+                )
+                m = (
+                    2 * self.num_neighbours
+                    if layer_idx == 0
+                    else self.num_neighbours
+                )
+                self._layer_add_node(layer, list(candidates), embedding_id, m)
+                entry = candidates[-1].candidate_id
+        else:
+            # first node joins every layer (`hnsw.rs:417-429`)
+            for layer in self.layers:
+                self._layer_add_node(layer, [], embedding_id, self.num_neighbours)
+
+    def create(self, vectors: np.ndarray) -> None:
+        """Parity with `create` (`hnsw.rs:434-438`)."""
+        for idx, vec in enumerate(np.asarray(vectors, dtype=np.float32)):
+            self._add_node(vec, idx)
+
+    @classmethod
+    def build_index(
+        cls,
+        num_layers: int,
+        ef_construction: int,
+        ef_search: int,
+        num_neighbours: int,
+        vectors: np.ndarray,
+        seed: int = 0,
+    ) -> "HNSWIndex":
+        """Parity signature with `build_index` (`hnsw.rs:440-478`)."""
+        index = cls(ef_construction, ef_search, num_layers, num_neighbours, seed=seed)
+        vectors = np.asarray(vectors, dtype=np.float32)
+        # parity: id_to_vec is fully populated up front (`hnsw.rs:453-455`)
+        for idx, vec in enumerate(vectors):
+            index.id_to_vec[idx] = vec
+        if vectors.size:
+            index.dim = vectors.shape[1]
+        for idx, vec in enumerate(vectors):
+            index._add_node(vec, idx)
+        return index
+
+    def get_num_nodes_in_layers(self) -> List[int]:
+        return [len(l.adjacency) for l in self.layers]
+
+    # -- Index API -------------------------------------------------------
+
+    def add(self, embedding, vec_id: int) -> None:
+        self._add_node(np.asarray(embedding, dtype=np.float32), vec_id)
+
+    def search_approximate(self, query, top_k: int) -> List[Tuple[int, float]]:
+        """Port of `search_approximate` (`hnsw.rs:510-548`), all quirks
+        preserved (top layer skipped; empty result if num_layers == 1)."""
+        q = np.asarray(query, dtype=np.float32).reshape(-1)
+        top_layer = self.layers[-1]
+        if not top_layer.adjacency:
+            return []
+        entry = next(iter(top_layer.adjacency))
+        final: List[DistanceCandidatePair] = []
+        for layer_idx in range(len(self.layers) - 2, -1, -1):
+            candidates = self._layer_search(
+                self.layers[layer_idx], entry, q, self.ef_search
+            )
+            if layer_idx != 0:
+                entry = candidates[-1].candidate_id
+            else:
+                final = candidates
+        final.reverse()  # ascending
+        return [(c.candidate_id, c.distance) for c in final[:top_k]]
+
+    # -- batched TPU query path ------------------------------------------
+
+    def _ensure_device_cache(self):
+        if self._device_cache is not None:
+            return self._device_cache
+        node_ids = list(self.id_to_vec.keys())
+        compact = {nid: i for i, nid in enumerate(node_ids)}
+        n = len(node_ids)
+        n_pad = round_up(max(n, 1), 8)
+        vecs = np.zeros((n_pad, self.dim), np.float32)
+        for nid, i in compact.items():
+            vecs[i] = self.id_to_vec[nid]
+        adjs = []
+        for layer in self.layers:
+            deg = max((len(a.neighbours) for a in layer.adjacency.values()), default=1)
+            deg = max(deg, 1)
+            adj = np.full((n_pad, deg), -1, np.int32)
+            for nid, item in layer.adjacency.items():
+                row = [compact[x] for x in item.neighbours if x in compact]
+                adj[compact[nid], : len(row)] = row[:deg]
+            adjs.append(jnp.asarray(adj))
+        entry_ext = (
+            next(iter(self.layers[-1].adjacency))
+            if self.layers[-1].adjacency
+            else None
+        )
+        self._device_cache = dict(
+            vecs=jnp.asarray(vecs),
+            adjs=adjs,
+            node_ids=np.asarray(node_ids, dtype=np.int64),
+            entry=compact.get(entry_ext, 0) if entry_ext is not None else None,
+        )
+        return self._device_cache
+
+    def search_batch(self, queries, top_k: int) -> SearchResult:
+        queries = np.asarray(queries, dtype=np.float32)
+        if queries.ndim == 1:
+            queries = queries[None]
+        q_n = queries.shape[0]
+        cache = self._ensure_device_cache()
+        if cache["entry"] is None or len(self.layers) < 2:
+            # quirk parity: no entrypoint / single layer -> no results
+            return SearchResult(
+                ids=np.full((q_n, top_k), -1, np.int64),
+                distances=np.full((q_n, top_k), np.inf, np.float32),
+            )
+        qdev = jnp.asarray(queries)
+        ef = max(self.ef_search, top_k)
+        n_nodes = len(cache["node_ids"])
+        max_steps = max(4 * ef, 64)
+        entry = jnp.full((q_n,), cache["entry"], jnp.int32)
+        beam_d = beam_i = None
+        for layer_idx in range(len(self.layers) - 2, -1, -1):
+            beam_d, beam_i = beam_search_layer(
+                qdev,
+                cache["vecs"],
+                cache["adjs"][layer_idx],
+                entry,
+                ef=ef,
+                max_steps=max_steps,
+            )
+            if layer_idx != 0:
+                entry = beam_i[:, 0]  # best candidate
+        bd = np.asarray(beam_d[:, :top_k])
+        bi = np.asarray(beam_i[:, :top_k])
+        ids = np.where(
+            bi >= 0, cache["node_ids"][np.clip(bi, 0, n_nodes - 1)], -1
+        )
+        return SearchResult(ids=ids.astype(np.int64), distances=bd)
+
+    # -- persistence (bincode parity: `hnsw.rs:20-32`, `models.rs:149-153`)
+
+    def save_index(self, file_path: str) -> None:
+        with open(file_path, "wb") as fp:
+            w = Writer(fp)
+            w.u64(self.ef_construction)
+            w.u64(self.ef_search)
+            w.u64(self.num_neighbours)
+            w.u64(len(self.layers))
+            for layer in self.layers:
+                w.u64(len(layer.adjacency))
+                for nid, item in layer.adjacency.items():
+                    w.u64(nid)
+                    pairs = item.items_sorted_ascending()
+                    w.u64(len(pairs))
+                    for p in pairs:
+                        w.u64(p.candidate_id)
+                        w.f32(p.distance)
+                    w.vec_u64(
+                        np.asarray(sorted(item.neighbours), dtype=np.uint64)
+                    )
+            w.f32(self.layer_multiplier)
+            w.u64(len(self.id_to_vec))
+            for nid, vec in self.id_to_vec.items():
+                w.u64(nid)
+                w.f32_array(vec)
+
+    @classmethod
+    def load_index(
+        cls,
+        file_path: str,
+        dim: Optional[int] = None,
+        config: Optional[HNSWConfig] = None,
+    ) -> "HNSWIndex":
+        if dim is None:
+            raise ValueError("HNSWIndex.load_index requires dim")
+        with open(file_path, "rb") as fp:
+            r = Reader(fp)
+            ef_construction = r.u64()
+            ef_search = r.u64()
+            num_neighbours = r.u64()
+            num_layers = r.u64()
+            layers = []
+            for _ in range(num_layers):
+                layer = _Layer()
+                count = r.u64()
+                for _ in range(count):
+                    nid = r.u64()
+                    heap_len = r.u64()
+                    item = AdjacencyItem()
+                    heap_pairs = [(r.u64(), r.f32()) for _ in range(heap_len)]
+                    nbrs = r.vec_u64().astype(np.int64)
+                    for cid, dist in heap_pairs:
+                        item.insert(int(cid), float(dist))
+                    # neighbour set is authoritative (heap may hold dups)
+                    item.neighbours = set(int(x) for x in nbrs)
+                    layer.adjacency[int(nid)] = item
+                layers.append(layer)
+            layer_multiplier = r.f32()
+            n_vecs = r.u64()
+            id_to_vec = {}
+            for _ in range(n_vecs):
+                nid = r.u64()
+                id_to_vec[int(nid)] = r.f32_array(dim)
+        index = cls(ef_construction, ef_search, num_layers, num_neighbours, config=config)
+        index.layers = layers
+        index.layer_multiplier = layer_multiplier
+        index.id_to_vec = id_to_vec
+        index.dim = dim
+        return index

@@ -1,0 +1,207 @@
+"""IVFFlat index — TPU-native rebuild of `vers/src/indexes/ivfflat.rs`.
+
+Build: jitted Lloyd k-means (`vers_tpu.ops.kmeans`) with vmapped
+random restarts — the TPU re-expression of the rayon-parallel
+assignment loop (`ivfflat.rs:29-46`) and the attempt loop
+(`ivfflat.rs:111-121`).
+
+Search (batched): cluster-binned dense scan (`vers_tpu.ops.binned`) —
+the corpus is stored cluster-major so each probed cluster is one
+contiguous row range hit with a dense MXU matmul; per-query results
+from nprobe probes merge with a final top-k. This replaces the
+reference's walk-nearest-clusters loop (`ivfflat.rs:166-195`).
+
+Search (single query): exact behavioral parity with the reference's
+adaptive cluster walk, including its remainder bookkeeping and the
+take-top_k-per-cluster quirk.
+
+Quirk parity: ``add`` ignores the caller's vec_id and assigns
+``len(assignments)`` (`ivfflat.rs:209` shadows the argument) — kept.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vers_tpu.config import IVFFlatConfig
+from vers_tpu.core import round_up
+from vers_tpu.index.base import Index
+from vers_tpu.io.bincode import Reader, Writer
+from vers_tpu.models.candidates import SearchResult
+from vers_tpu.ops import kmeans as kmeans_ops
+from vers_tpu.ops.binned import binned_topk, make_layout
+from vers_tpu.ops.distance import pairwise_sq_euclidean
+from vers_tpu.ops.topk import topk_smallest
+
+
+@functools.partial(jax.jit, static_argnames=("nprobe",))
+def _probe_clusters(queries, centroids, nprobe: int):
+    """(Q, nprobe) nearest-centroid ids per query (ascending distance)."""
+    cdist = pairwise_sq_euclidean(queries, centroids)
+    _, probes = topk_smallest(cdist, nprobe)
+    return probes
+
+
+class IVFFlatIndex(Index):
+    def __init__(
+        self,
+        num_centroids: int,
+        values: np.ndarray,
+        centroids: np.ndarray,
+        assignments: np.ndarray,
+        ids: List[List[int]],
+        config: IVFFlatConfig = IVFFlatConfig(),
+    ):
+        self.config = config
+        self.num_centroids = int(num_centroids)
+        self._values = np.asarray(values, dtype=np.float32)
+        self._centroids = np.asarray(centroids, dtype=np.float32)
+        self._assignments = np.asarray(assignments, dtype=np.int64)
+        self._ids = [list(map(int, c)) for c in ids]
+        self.dim = self._values.shape[1]
+        self._layout = None  # lazy cluster-major device layout
+        self._centroids_dev = None
+
+    # -- build ---------------------------------------------------------
+
+    @classmethod
+    def build_index(
+        cls,
+        num_clusters: int,
+        num_attempts: int,
+        max_iterations: int,
+        vectors: np.ndarray,
+        config: Optional[IVFFlatConfig] = None,
+    ) -> "IVFFlatIndex":
+        """Parity signature with `ivfflat.rs:102-136`."""
+        config = config or IVFFlatConfig(
+            num_clusters=num_clusters,
+            num_attempts=num_attempts,
+            max_iterations=max_iterations,
+        )
+        vectors = np.asarray(vectors, dtype=np.float32)
+        n, d = vectors.shape
+        n_pad = round_up(n, 128)
+        data = jnp.asarray(
+            np.pad(vectors, ((0, n_pad - n), (0, 0))), dtype=jnp.float32
+        )
+        key = jax.random.PRNGKey(config.seed)
+        centroids, _ = kmeans_ops.build_kmeans_restarts(
+            key, data, n, num_clusters, num_attempts, max_iterations
+        )
+        assignments = np.asarray(kmeans_ops.assign_clusters(data, n, centroids))[:n]
+        ids: List[List[int]] = [[] for _ in range(num_clusters)]
+        for vec_id, c in enumerate(assignments):
+            ids[int(c)].append(vec_id)
+        return cls(
+            num_clusters, vectors, np.asarray(centroids), assignments, ids, config
+        )
+
+    def _ensure_layout(self):
+        if self._layout is None:
+            self._layout = make_layout(
+                self._values, self._assignments, self.num_centroids
+            )
+            self._centroids_dev = jnp.asarray(self._centroids)
+        return self._layout
+
+    # -- Index API -------------------------------------------------------
+
+    def add(self, embedding, vec_id: int) -> None:
+        """Quirk parity with `ivfflat.rs:200-213`: the caller's vec_id is
+        ignored; the new row gets id == len(assignments)."""
+        emb = np.asarray(embedding, dtype=np.float32).reshape(-1)
+        d2 = np.sum((self._centroids - emb[None, :]) ** 2, axis=1)
+        c = int(np.argmin(d2))
+        new_id = len(self._assignments)
+        self._values = np.concatenate([self._values, emb[None, :]], axis=0)
+        self._assignments = np.append(self._assignments, c)
+        self._ids[c].append(new_id)
+        self._layout = None  # invalidate cluster-major layout
+
+    def search_batch(
+        self, queries, top_k: int, nprobe: Optional[int] = None
+    ) -> SearchResult:
+        layout = self._ensure_layout()
+        queries = np.asarray(queries, dtype=np.float32)
+        if queries.ndim == 1:
+            queries = queries[None]
+        nprobe = nprobe if nprobe is not None else (self.config.nprobe or 1)
+        nprobe = max(1, min(nprobe, self.num_centroids))
+        qdev = jnp.asarray(queries)
+        probes = _probe_clusters(qdev, self._centroids_dev, nprobe)
+        dists, rows = binned_topk(
+            qdev,
+            [probes[:, r] for r in range(nprobe)],
+            [layout] * nprobe,
+            top_k=top_k,
+        )
+        return SearchResult(
+            ids=np.asarray(rows, dtype=np.int64), distances=np.asarray(dists)
+        )
+
+    def search_approximate(self, query, top_k: int) -> List[Tuple[int, float]]:
+        """Behavioral parity with the adaptive cluster walk
+        (`ivfflat.rs:153-198`): scan clusters nearest-first, take at most
+        top_k from each, stop once top_k candidates are collected."""
+        q = np.asarray(query, dtype=np.float32).reshape(-1)
+        cd = np.sum((self._centroids - q[None, :]) ** 2, axis=1)
+        nearest = np.argsort(cd, kind="stable")
+        candidates: List[Tuple[int, float]] = []
+        remainder = top_k
+        for c in nearest:
+            members = self._ids[int(c)]
+            if members:
+                m = np.asarray(members, dtype=np.int64)
+                d2 = np.sum((self._values[m] - q[None, :]) ** 2, axis=1)
+                o = np.argsort(d2, kind="stable")[:top_k]
+                pc = [(int(m[i]), float(d2[i])) for i in o]
+            else:
+                pc = []
+            if len(pc) < remainder:
+                remainder -= len(pc)
+                candidates.extend(pc)
+            elif len(pc) > remainder:
+                candidates.extend(pc[:remainder])
+                break
+            else:
+                candidates.extend(pc)
+                break
+        return candidates
+
+    # -- persistence (bincode parity: `ivfflat.rs:8-15` field order) ----
+
+    def save_index(self, file_path: str) -> None:
+        with open(file_path, "wb") as fp:
+            w = Writer(fp)
+            w.u64(self.num_centroids)
+            w.vec_f32_matrix(self._values)
+            w.vec_f32_matrix(self._centroids)
+            w.vec_u64(self._assignments.astype(np.uint64))
+            w.u64(len(self._ids))
+            for cluster in self._ids:
+                w.vec_u64(np.asarray(cluster, dtype=np.uint64))
+
+    @classmethod
+    def load_index(
+        cls,
+        file_path: str,
+        dim: Optional[int] = None,
+        config: IVFFlatConfig = IVFFlatConfig(),
+    ) -> "IVFFlatIndex":
+        if dim is None:
+            raise ValueError("IVFFlatIndex.load_index requires dim")
+        with open(file_path, "rb") as fp:
+            r = Reader(fp)
+            num_centroids = r.u64()
+            values = r.vec_f32_matrix(dim)
+            centroids = r.vec_f32_matrix(dim)
+            assignments = r.vec_u64().astype(np.int64)
+            n_clusters = r.u64()
+            ids = [r.vec_u64().astype(np.int64).tolist() for _ in range(n_clusters)]
+        return cls(num_centroids, values, centroids, assignments, ids, config)

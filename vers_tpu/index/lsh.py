@@ -1,0 +1,356 @@
+"""RP-forest index ("LSH" in the reference) — TPU-native rebuild of
+`vers/src/indexes/lsh.rs`.
+
+Build: level-synchronous batched hyperplane splitting on device
+(`vers_tpu.ops.rpforest`) instead of host recursion + rayon
+(`lsh.rs:132-161`). Exact-duplicate vectors are dropped first (parity
+with `deduplicate`, `lsh.rs:113-130`).
+
+Search (batched): each tree routes the query batch to a leaf bucket via
+the jitted descent, then all trees' buckets are scanned with the shared
+dense binned engine (`vers_tpu.ops.binned`) and merged — replacing the
+rayon per-tree recursion + DashSet candidate union (`lsh.rs:264-281`).
+
+Search (single query): host-side recursion with exact behavioral parity
+with `tree_result` (`lsh.rs:163-216`) including the deficit/backup
+branch rule.
+
+Documented deviations from the reference:
+- tree depth is bounded (`ops/rpforest.depth_bound`); pathologically
+  unbalanced nodes freeze into oversized leaves instead of recursing
+  forever,
+- ``add`` appends the new vector to its main-path leaf without the
+  overflow split-rebuild (`lsh.rs:240-248`); leaves may exceed
+  max_node_size by the number of adds (recall-neutral),
+- ``add`` stores the new vector's *internal* index in tree leaves; the
+  reference stores the external id (`lsh.rs:255-262`), which is only
+  correct when no duplicates were removed — observable behavior is
+  identical in that case and ours is also correct otherwise.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vers_tpu.config import LSHConfig
+from vers_tpu.core import deduplicate, round_up
+from vers_tpu.index.base import Index
+from vers_tpu.io.bincode import Reader, Writer
+from vers_tpu.models.candidates import SearchResult
+from vers_tpu.ops import rpforest
+from vers_tpu.ops.binned import binned_topk, make_layout
+
+
+class _Tree:
+    """Host mirror of one tree: level tables + leaf membership."""
+
+    def __init__(self, coeff, const, split, bucket, leaf_of_vec, num_buckets):
+        self.coeff = np.asarray(coeff, np.float32)    # (L, T, d)
+        self.const = np.asarray(const, np.float32)    # (L, T)
+        self.split = np.asarray(split, np.int32)      # (L, S)
+        self.bucket = np.asarray(bucket, np.int32)    # (L, S)
+        self.leaf_of_vec = np.asarray(leaf_of_vec, np.int32)  # (n,)
+        self.num_buckets = int(num_buckets)
+        self.members: List[List[int]] = [[] for _ in range(self.num_buckets)]
+        for i, b in enumerate(self.leaf_of_vec):
+            if b >= 0:
+                self.members[int(b)].append(i)
+        self._dev = None
+        self._layout = None
+
+    def device_tables(self):
+        if self._dev is None:
+            self._dev = (
+                jnp.asarray(self.coeff),
+                jnp.asarray(self.const),
+                jnp.asarray(self.split),
+                jnp.asarray(self.bucket),
+            )
+        return self._dev
+
+    def layout(self, values: np.ndarray):
+        if self._layout is None:
+            self._layout = make_layout(
+                values, self.leaf_of_vec, max(self.num_buckets, 1)
+            )
+        return self._layout
+
+    def invalidate(self):
+        self._dev = None
+        self._layout = None
+
+
+class ANNIndex(Index):
+    def __init__(
+        self,
+        max_node_size: int,
+        trees: List[_Tree],
+        values: np.ndarray,
+        ids: np.ndarray,
+        config: LSHConfig = LSHConfig(),
+    ):
+        self.config = config
+        self.max_node_size = int(max_node_size)
+        self._trees = trees
+        self._values = np.asarray(values, dtype=np.float32)
+        self._ids = np.asarray(ids, dtype=np.int64)
+        self.dim = self._values.shape[1]
+
+    # -- build ---------------------------------------------------------
+
+    @classmethod
+    def build_index(
+        cls,
+        num_trees: int,
+        max_size: int,
+        vectors: np.ndarray,
+        vector_ids,
+        config: Optional[LSHConfig] = None,
+    ) -> "ANNIndex":
+        """Parity signature with `lsh.rs:132-161` (dedup first, then
+        num_trees independent random trees)."""
+        if max_size < 2:
+            raise ValueError("max_node_size must be >= 2")
+        config = config or LSHConfig(num_trees=num_trees, max_node_size=max_size)
+        vectors = np.asarray(vectors, dtype=np.float32)
+        dedup_vecs, dedup_ids = deduplicate(vectors, np.asarray(vector_ids))
+        n, d = dedup_vecs.shape
+        n_pad = round_up(max(n, 1), 128)
+        data = jnp.asarray(np.pad(dedup_vecs, ((0, n_pad - n), (0, 0))))
+        max_depth = rpforest.depth_bound(n, max_size)
+        key = jax.random.PRNGKey(config.seed)
+        trees = []
+        for t in range(num_trees):
+            tables = rpforest.build_tree(
+                jax.random.fold_in(key, t), data, n, max_size, max_depth
+            )
+            trees.append(
+                _Tree(
+                    tables.coeff,
+                    tables.const,
+                    tables.split,
+                    tables.bucket,
+                    np.asarray(tables.leaf_of_vec)[:n],
+                    int(tables.num_buckets),
+                )
+            )
+        return cls(max_size, trees, dedup_vecs, dedup_ids, config)
+
+    # -- Index API -------------------------------------------------------
+
+    def add(self, embedding, vec_id: int) -> None:
+        """Parity surface with `lsh.rs:255-262` (see module docstring
+        for documented deviations)."""
+        emb = np.asarray(embedding, dtype=np.float32).reshape(1, -1)
+        internal = self._values.shape[0]
+        self._values = np.concatenate([self._values, emb], axis=0)
+        self._ids = np.append(self._ids, np.int64(vec_id))
+        for tree in self._trees:
+            b = int(self._descend_host(tree, emb[0]))
+            leaf = np.append(tree.leaf_of_vec, np.int32(b))
+            tree.leaf_of_vec = leaf
+            tree.members[b].append(internal)
+            tree.invalidate()
+
+    def _descend_host(self, tree: _Tree, q: np.ndarray) -> int:
+        v = 0
+        for lvl in range(tree.split.shape[0]):
+            b = tree.bucket[lvl][v]
+            if b >= 0:
+                return int(b)
+            s = tree.split[lvl][v]
+            if s < 0:
+                # empty/non-occupied node: no recorded leaf. Fall back
+                # to bucket 0 (cannot happen on the main path of a
+                # vector-built tree; defensive for loaded trees).
+                return 0
+            side = 1 if float(tree.coeff[lvl][s] @ q + tree.const[lvl][s]) >= 0 else 0
+            v = 2 * int(s) + side
+        return 0
+
+    def search_batch(self, queries, top_k: int) -> SearchResult:
+        queries = np.asarray(queries, dtype=np.float32)
+        if queries.ndim == 1:
+            queries = queries[None]
+        qdev = jnp.asarray(queries)
+        probe_bins = []
+        layouts = []
+        for tree in self._trees:
+            coeff, const, split, bucket = tree.device_tables()
+            probe_bins.append(rpforest.descend(qdev, coeff, const, split, bucket))
+            layouts.append(tree.layout(self._values))
+        dists, internal = binned_topk(
+            qdev, probe_bins, layouts, top_k=top_k, metric="sq_euclidean"
+        )
+        internal = np.asarray(internal)
+        dists = np.asarray(dists)
+        ext = np.where(
+            internal >= 0,
+            self._ids[np.clip(internal, 0, len(self._ids) - 1)],
+            -1,
+        )
+        return SearchResult(ids=ext.astype(np.int64), distances=dists)
+
+    # -- single-query parity path (deficit/backup rule) ------------------
+
+    def _tree_result(
+        self, tree: _Tree, q: np.ndarray, n: int, lvl: int, v: int, cand: set
+    ) -> int:
+        """Exact behavioral parity with `tree_result` (`lsh.rs:163-216`)."""
+        if lvl >= tree.split.shape[0]:
+            return 0
+        b = tree.bucket[lvl][v] if v < tree.bucket.shape[1] else -1
+        s = tree.split[lvl][v] if v < tree.split.shape[1] else -1
+        if s < 0:
+            members = tree.members[int(b)] if b >= 0 else []
+            if len(members) < n:
+                cand.update(members)
+                return len(members)
+            m = np.asarray(members, dtype=np.int64)
+            d2 = np.sum((self._values[m] - q[None, :]) ** 2, axis=1)
+            o = np.argsort(d2, kind="stable")[:n]
+            cand.update(int(m[i]) for i in o)
+            return n
+        above = float(tree.coeff[lvl][s] @ q + tree.const[lvl][s]) >= 0
+        main = 2 * int(s) + (1 if above else 0)
+        backup = 2 * int(s) + (0 if above else 1)
+        k = self._tree_result(tree, q, n, lvl + 1, main, cand)
+        if k < n:
+            k += self._tree_result(tree, q, n - k, lvl + 1, backup, cand)
+        return k
+
+    def search_approximate(self, query, top_k: int) -> List[Tuple[int, float]]:
+        q = np.asarray(query, dtype=np.float32).reshape(-1)
+        cand: set = set()
+        for tree in self._trees:
+            self._tree_result(tree, q, top_k, 0, 0, cand)
+        if not cand:
+            return []
+        m = np.asarray(sorted(cand), dtype=np.int64)
+        d2 = np.sum((self._values[m] - q[None, :]) ** 2, axis=1)
+        o = np.argsort(d2, kind="stable")[:top_k]
+        return [(int(self._ids[m[i]]), float(d2[i])) for i in o]
+
+    # -- persistence (bincode parity: `lsh.rs:31-55` layout) -------------
+
+    def _write_node(self, w: Writer, tree: _Tree, lvl: int, v: int) -> None:
+        s = tree.split[lvl][v] if lvl < tree.split.shape[0] else -1
+        b = tree.bucket[lvl][v] if lvl < tree.bucket.shape[0] else -1
+        if s >= 0:
+            w.u32(0)  # Node::Inner variant tag
+            w.f32_array(tree.coeff[lvl][s])
+            w.f32(float(tree.const[lvl][s]))
+            self._write_node(w, tree, lvl + 1, 2 * int(s))      # left = below
+            self._write_node(w, tree, lvl + 1, 2 * int(s) + 1)  # right = above
+        else:
+            w.u32(1)  # Node::Leaf
+            members = tree.members[int(b)] if b >= 0 else []
+            w.vec_u64(np.asarray(members, dtype=np.uint64))
+
+    def save_index(self, file_path: str) -> None:
+        import sys
+
+        old_limit = sys.getrecursionlimit()
+        sys.setrecursionlimit(max(old_limit, 10000))
+        try:
+            with open(file_path, "wb") as fp:
+                w = Writer(fp)
+                w.u64(self.max_node_size)
+                w.u64(len(self._trees))
+                for tree in self._trees:
+                    self._write_node(w, tree, 0, 0)
+                w.vec_f32_matrix(self._values)
+                w.vec_u64(self._ids.astype(np.uint64))
+        finally:
+            sys.setrecursionlimit(old_limit)
+
+    @classmethod
+    def load_index(
+        cls,
+        file_path: str,
+        dim: Optional[int] = None,
+        config: LSHConfig = LSHConfig(),
+    ) -> "ANNIndex":
+        if dim is None:
+            raise ValueError("ANNIndex.load_index requires dim")
+        with open(file_path, "rb") as fp:
+            r = Reader(fp)
+            max_node_size = r.u64()
+            num_trees = r.u64()
+            raw_trees = [_parse_node(r, dim) for _ in range(num_trees)]
+            values = r.vec_f32_matrix(dim)
+            ids = r.vec_u64().astype(np.int64)
+        trees = [_raw_to_tables(raw, values.shape[0], dim) for raw in raw_trees]
+        return cls(max_node_size, trees, values, ids, config)
+
+
+def _parse_node(r: Reader, dim: int):
+    tag = r.u32()
+    if tag == 0:
+        coeff = r.f32_array(dim)
+        const = r.f32()
+        left = _parse_node(r, dim)
+        right = _parse_node(r, dim)
+        return ("inner", coeff, const, left, right)
+    if tag == 1:
+        return ("leaf", r.vec_u64().astype(np.int64))
+    raise ValueError(f"bad Node enum tag {tag}")
+
+
+def _raw_to_tables(raw, n: int, dim: int) -> _Tree:
+    """Convert a parsed recursive tree into level tables (BFS,
+    inner-node slot = per-level inner count; children at 2s / 2s+1)."""
+    levels: List[List] = [[raw]]
+    while True:
+        nxt: List = []
+        for node in levels[-1]:
+            if node is not None and node[0] == "inner":
+                nxt.extend([node[3], node[4]])
+            else:
+                nxt.extend([None, None])
+        if all(x is None for x in nxt):
+            break
+        # compact: children are indexed 2s/2s+1 by the PARENT's inner
+        # slot, so rebuild the level in that order
+        parents = [x for x in levels[-1] if x is not None and x[0] == "inner"]
+        nxt = []
+        for p in parents:
+            nxt.extend([p[3], p[4]])
+        levels.append(nxt)
+
+    L = len(levels)
+    t_caps = [max(sum(1 for x in lv if x is not None and x[0] == "inner"), 1) for lv in levels]
+    T = max(t_caps)
+    S = max(len(lv) for lv in levels)
+    coeff = np.zeros((L, T, dim), np.float32)
+    const = np.zeros((L, T), np.float32)
+    split = np.full((L, S), -1, np.int32)
+    bucket = np.full((L, S), -1, np.int32)
+    leaf_of_vec = np.full((n,), -1, np.int32)
+    members: List[List[int]] = []
+    for lvl, lv in enumerate(levels):
+        slot = 0
+        for v, node in enumerate(lv):
+            if node is None:
+                continue
+            if node[0] == "inner":
+                coeff[lvl][slot] = node[1]
+                const[lvl][slot] = node[2]
+                split[lvl][v] = slot
+                slot += 1
+            else:
+                b = len(members)
+                bucket[lvl][v] = b
+                mem = [int(x) for x in node[1]]
+                members.append(mem)
+                for i in mem:
+                    if 0 <= i < n:
+                        leaf_of_vec[i] = b
+
+    tree = _Tree(coeff, const, split, bucket, leaf_of_vec, len(members))
+    tree.members = members
+    return tree

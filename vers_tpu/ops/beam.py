@@ -1,0 +1,113 @@
+"""Batched greedy beam search over a padded adjacency matrix — the TPU
+re-expression of HNSW's layer search (`vers/src/indexes/hnsw.rs:242-307`).
+
+Graph pointer-chasing (BFS queue + heap + visited set) is TPU-hostile,
+so a layer search becomes an iterative frontier expansion over
+rectangles:
+
+- the beam is a sorted (Q, ef) best-candidate set (the ef-bounded
+  max-heap),
+- each step expands the best not-yet-expanded beam entry per query:
+  gather its padded neighbour row (deg,), gather neighbour vectors,
+  one batched distance einsum, dedup against beam membership (the
+  visited-set equivalent), merge with `lax.top_k`,
+- terminates when no query's beam changed (all frontiers exhausted),
+  under a static step bound.
+
+Distances are cosine distance ``1 - dot`` on normalized vectors
+(parity with `cosine_similarity_simd`, `base.rs:158-223`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from vers_tpu.ops.topk import topk_smallest
+
+_BIG = jnp.inf
+
+
+@functools.partial(jax.jit, static_argnames=("ef", "max_steps"))
+def beam_search_layer(
+    queries,      # (Q, d) f32
+    vecs,         # (n_pad, d) node vectors (compact ids)
+    adj,          # (n_pad, deg) int32 neighbour compact ids, -1 pad
+    entry,        # (Q,) int32 compact entry node per query
+    ef: int,
+    max_steps: int,
+):
+    """Returns (beam_d (Q, ef) ascending, beam_i (Q, ef) int32; -1/inf
+    padding). Emulates one HNSWLayer::search with ef candidates."""
+    q_n, d = queries.shape
+    n_pad, deg = adj.shape
+
+    def dist_to(ids):
+        # ids (Q, m) -> (Q, m) cosine distances; -1 -> +inf
+        v = jnp.take(vecs, jnp.clip(ids, 0, n_pad - 1), axis=0)  # (Q, m, d)
+        dots = jnp.einsum(
+            "qmd,qd->qm", v, queries, precision=jax.lax.Precision.HIGHEST
+        )
+        return jnp.where(ids >= 0, 1.0 - dots, _BIG)
+
+    entry = entry.astype(jnp.int32)
+    beam_i = jnp.full((q_n, ef), -1, jnp.int32).at[:, 0].set(entry)
+    beam_d = jnp.full((q_n, ef), _BIG).at[:, 0].set(dist_to(entry[:, None])[:, 0])
+    expanded = jnp.zeros((q_n, ef), bool)
+
+    def cond(state):
+        step, _, _, _, active = state
+        return jnp.logical_and(step < max_steps, active)
+
+    def body(state):
+        step, beam_d, beam_i, expanded, _ = state
+        # pick best unexpanded entry per query
+        cand_rank = jnp.where(expanded | (beam_i < 0), _BIG, beam_d)
+        pick = jnp.argmin(cand_rank, axis=1)                      # (Q,)
+        has_pick = jnp.take_along_axis(
+            cand_rank, pick[:, None], axis=1
+        )[:, 0] < _BIG
+        picked_node = jnp.take_along_axis(beam_i, pick[:, None], axis=1)[:, 0]
+        expanded = expanded.at[jnp.arange(q_n), pick].set(
+            expanded[jnp.arange(q_n), pick] | has_pick
+        )
+
+        nbrs = jnp.take(
+            adj, jnp.clip(picked_node, 0, n_pad - 1), axis=0
+        )                                                          # (Q, deg)
+        nbrs = jnp.where(has_pick[:, None], nbrs, -1)
+        nd = dist_to(nbrs)
+        # visited-equivalent: drop neighbours already in beam
+        dup = jnp.any(
+            nbrs[:, :, None] == beam_i[:, None, :], axis=2
+        ) & (nbrs >= 0)
+        nd = jnp.where(dup, _BIG, nd)
+
+        cat_d = jnp.concatenate([beam_d, nd], axis=1)
+        cat_i = jnp.concatenate([beam_i, nbrs], axis=1)
+        cat_e = jnp.concatenate(
+            [expanded, jnp.zeros((q_n, deg), bool)], axis=1
+        )
+        new_d, sel = topk_smallest(cat_d, ef)
+        new_i = jnp.take_along_axis(cat_i, sel, axis=1)
+        new_e = jnp.take_along_axis(cat_e, sel, axis=1)
+        new_i = jnp.where(jnp.isfinite(new_d), new_i, -1)
+
+        # still active while any query has an unexpanded finite entry
+        frontier = jnp.any(
+            (~new_e) & (new_i >= 0) & jnp.isfinite(new_d), axis=1
+        )
+        active = jnp.any(frontier)
+        return step + 1, new_d, new_i, new_e, active
+
+    state = (
+        jnp.array(0, jnp.int32),
+        beam_d,
+        beam_i,
+        expanded,
+        jnp.array(True),
+    )
+    _, beam_d, beam_i, _, _ = jax.lax.while_loop(cond, body, state)
+    return beam_d, beam_i

@@ -1,0 +1,211 @@
+"""Fused distance + streaming top-k Pallas kernel — the TPU-native
+replacement for the reference's hand-written SIMD distance kernels
+(`vers/src/indexes/base.rs:158-293`).
+
+Design (per the TPU hardware model):
+
+- grid = (query_tiles, corpus_chunks); for a fixed query tile the
+  corpus streams through VMEM chunk by chunk (the query tile's block
+  index is constant over the inner grid dim, so Mosaic keeps it
+  resident and double-buffers only the corpus stream),
+- the (QT, C) distance tile is an MXU matmul and never leaves VMEM,
+- a running (QT, K) best set lives in VMEM scratch across the corpus
+  scan — heaps become K unrolled min/argmin extraction passes,
+- a cheap threshold test (`chunk min < per-row kth best`) skips the
+  merge for chunks that cannot contribute, so the VPU merge cost is
+  amortized away after the first few chunks.
+
+Falls back to the pure-XLA ``fused_scan_topk`` on non-TPU backends and
+for K > MAX_PALLAS_K.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vers_tpu.core import round_up
+from vers_tpu.ops.topk import fused_scan_topk
+
+MAX_PALLAS_K = 128
+DEFAULT_QUERY_TILE = 1024
+DEFAULT_CHUNK = 512
+
+
+def _merge_topk(best_d, best_i, dist, rows, k: int):
+    """Merge a (QT, C) candidate tile into the running (QT, K) best set
+    via K unrolled extract-min passes. ``rows`` is (1, C). Returns
+    (new_d, new_i)."""
+    cand_d = jnp.concatenate([best_d, dist], axis=1)  # (QT, K + C)
+    cand_i = jnp.concatenate(
+        [best_i, jnp.broadcast_to(rows, dist.shape).astype(jnp.int32)],
+        axis=1,
+    )
+    col = jax.lax.broadcasted_iota(jnp.int32, cand_d.shape, 1)
+    out_d = []
+    out_i = []
+    for _ in range(k):
+        am = jnp.argmin(cand_d, axis=1)  # ties -> lowest col -> carry first
+        m = jnp.min(cand_d, axis=1)
+        picked = col == am[:, None]
+        out_d.append(m)
+        out_i.append(jnp.sum(jnp.where(picked, cand_i, 0), axis=1))
+        cand_d = jnp.where(picked, jnp.inf, cand_d)
+    return jnp.stack(out_d, axis=1), jnp.stack(out_i, axis=1).astype(jnp.int32)
+
+
+def _kernel(n_valid_ref, q_ref, x_ref, xx_ref, out_d_ref, out_i_ref,
+            best_d, best_i, *, k: int, chunk: int, metric: str):
+    j = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        best_d[:] = jnp.full_like(best_d, jnp.inf)
+        best_i[:] = jnp.full_like(best_i, -1)
+
+    q = q_ref[:].astype(jnp.float32)
+    x = x_ref[:].astype(jnp.float32)
+    dot = jax.lax.dot_general(
+        q, x,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (QT, C)
+    if metric == "cosine":
+        dist = 1.0 - dot
+    else:
+        qq = jnp.sum(q * q, axis=1, keepdims=True)
+        dist = jnp.maximum(qq + xx_ref[:] - 2.0 * dot, 0.0)  # xx is (1, C)
+
+    rows = j * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    n_valid = n_valid_ref[0, 0]
+    dist = jnp.where(rows < n_valid, dist, jnp.inf)
+
+    # skip the merge when no candidate beats any row's current kth best
+    kth = jnp.max(best_d[:], axis=1, keepdims=True)  # (QT, 1)
+    improves = jnp.any(dist < kth)
+
+    @pl.when(improves)
+    def _merge():
+        new_d, new_i = _merge_topk(best_d[:], best_i[:], dist, rows, k)
+        best_d[:] = new_d
+        best_i[:] = new_i
+
+    @pl.when(j == n_chunks - 1)
+    def _flush():
+        out_d_ref[:] = best_d[:]
+        out_i_ref[:] = jnp.where(jnp.isfinite(best_d[:]), best_i[:], -1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "metric", "query_tile", "chunk_size", "interpret"),
+)
+def pallas_distance_topk(
+    queries: jnp.ndarray,
+    corpus: jnp.ndarray,
+    n_valid,
+    k: int,
+    metric: str = "sq_euclidean",
+    query_tile: int = DEFAULT_QUERY_TILE,
+    chunk_size: int = DEFAULT_CHUNK,
+    interpret: bool = False,
+):
+    """Exact top-k via the fused Pallas kernel.
+
+    queries (Q, d), corpus (N_pad, d); rows >= n_valid ignored.
+    Returns (dists (Q, k) f32 ascending, indices (Q, k) int32).
+    """
+    if metric not in ("sq_euclidean", "cosine"):
+        raise ValueError(f"unknown metric {metric!r}")
+    q_n, d = queries.shape
+    n_pad = corpus.shape[0]
+
+    qt = min(query_tile, round_up(q_n, 8))
+    chunk = min(chunk_size, n_pad)
+
+    # pad shapes so grid tiles exactly
+    q_pad = round_up(q_n, qt)
+    if q_pad != q_n:
+        queries = jnp.pad(queries, ((0, q_pad - q_n), (0, 0)))
+    rem = (-n_pad) % chunk
+    if rem:
+        corpus = jnp.pad(corpus, ((0, rem), (0, 0)))
+        n_pad += rem
+    d_pad = round_up(d, 128)
+    if d_pad != d:
+        queries = jnp.pad(queries, ((0, 0), (0, d_pad - d)))
+        corpus = jnp.pad(corpus, ((0, 0), (0, d_pad - d)))
+
+    xx = jnp.sum(corpus.astype(jnp.float32) ** 2, axis=1)[None, :]  # (1, N_pad)
+    n_valid_arr = jnp.asarray(n_valid, jnp.int32).reshape(1, 1)
+
+    grid = (q_pad // qt, n_pad // chunk)
+    kernel = functools.partial(_kernel, k=k, chunk=chunk, metric=metric)
+
+    out_d, out_i = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # n_valid (1, 1)
+            pl.BlockSpec((qt, d_pad), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, d_pad), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((qt, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qt, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((q_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((q_pad, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((qt, k), jnp.float32),
+            pltpu.VMEM((qt, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * q_pad * n_pad * d_pad,
+            bytes_accessed=(q_pad // qt) * n_pad * d_pad * corpus.dtype.itemsize
+            + q_pad * d_pad * queries.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(n_valid_arr, queries, corpus, xx)
+
+    return out_d[:q_n], out_i[:q_n]
+
+
+def distance_topk(
+    queries,
+    corpus,
+    n_valid,
+    k: int,
+    metric: str = "sq_euclidean",
+    chunk_size: int = 16384,
+    force: str | None = None,
+):
+    """Dispatcher: fused Pallas kernel on TPU (k <= MAX_PALLAS_K), pure
+    XLA ``fused_scan_topk`` otherwise. ``force`` in {"pallas", "xla"}
+    pins a path (tests)."""
+    use_pallas = (
+        force == "pallas"
+        or (
+            force is None
+            and jax.default_backend() == "tpu"
+            and k <= MAX_PALLAS_K
+        )
+    )
+    if use_pallas:
+        return pallas_distance_topk(
+            queries, corpus, n_valid, k, metric=metric,
+            interpret=jax.default_backend() != "tpu",
+        )
+    return fused_scan_topk(
+        queries, corpus, n_valid, k, metric=metric, chunk_size=chunk_size
+    )
