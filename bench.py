@@ -35,6 +35,9 @@ def log(*a):
 
 def main():
     import jax
+
+    if os.environ.get("VERS_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["VERS_PLATFORM"])
     import jax.numpy as jnp
     from vers_tpu.index.ivfflat import IVFFlatIndex
     from vers_tpu.ops.pallas_topk import distance_topk

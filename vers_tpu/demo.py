@@ -10,9 +10,18 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 import numpy as np
+
+# this environment force-selects the TPU platform at interpreter start;
+# honor an explicit VERS_PLATFORM=cpu override via jax.config (works
+# as long as no backend has been touched yet)
+if os.environ.get("VERS_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["VERS_PLATFORM"])
 
 from vers_tpu.index.flat import FlatIndex
 from vers_tpu.index.hnsw import HNSWIndex

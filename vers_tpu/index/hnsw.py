@@ -68,10 +68,44 @@ class HNSWIndex(Index):
         self.layers: List[_Layer] = [_Layer() for _ in range(num_layers)]
         # parity with `hnsw.rs:323`: 1/ln(M)
         self.layer_multiplier = 1.0 / math.log(num_neighbours)
-        self.id_to_vec: Dict[int, np.ndarray] = {}
+        # id_to_vec is a contiguous matrix + id->row map so the build's
+        # hot loop (neighbour distance evals) is one numpy gather+gemv
+        # instead of per-neighbour python dots
+        self._vecs = np.zeros((0, 0), np.float32)
+        self._rows_used = 0
+        self._id_row: Dict[int, int] = {}
         self._rng = np.random.default_rng(self.config.seed)
         self.dim = 0
         self._device_cache = None
+
+    # -- id_to_vec facade ------------------------------------------------
+
+    @property
+    def id_to_vec(self) -> Dict[int, np.ndarray]:
+        """Dict view (insertion-ordered) for parity/serialization paths."""
+        return {nid: self._vecs[r] for nid, r in self._id_row.items()}
+
+    def _set_vec(self, nid: int, vec: np.ndarray) -> None:
+        vec = np.asarray(vec, dtype=np.float32).reshape(-1)
+        if not self.dim:
+            self.dim = vec.shape[0]
+        if self._vecs.shape[1] != self.dim:
+            self._vecs = np.zeros((16, self.dim), np.float32)
+        row = self._id_row.get(nid)
+        if row is None:
+            if self._rows_used >= self._vecs.shape[0]:
+                grown = np.zeros(
+                    (max(16, self._vecs.shape[0] * 2), self.dim), np.float32
+                )
+                grown[: self._rows_used] = self._vecs[: self._rows_used]
+                self._vecs = grown
+            row = self._rows_used
+            self._rows_used += 1
+            self._id_row[nid] = row
+        self._vecs[row] = vec
+
+    def _vec(self, nid: int) -> np.ndarray:
+        return self._vecs[self._id_row[nid]]
 
     # -- host-side construction (faithful port) -------------------------
 
@@ -93,19 +127,24 @@ class HNSWIndex(Index):
         heap: List[Tuple[float, int, int]] = []
         tie = 0
         heapq.heappush(
-            heap, (-self._dist(self.id_to_vec[entry_id], query), tie, entry_id)
+            heap, (-self._dist(self._vec(entry_id), query), tie, entry_id)
         )
+        id_row = self._id_row
+        vecs = self._vecs
         while queue:
             node = queue.popleft()
             visited.add(node)
             adj = layer.adjacency.get(node)
             if adj is None:
                 continue
-            for nb in adj.neighbours:
-                if nb in visited:
-                    continue
-                visited.add(nb)
-                d = self._dist(query, self.id_to_vec[nb])
+            fresh = [nb for nb in adj.neighbours if nb not in visited]
+            if not fresh:
+                continue
+            visited.update(fresh)
+            rows = [id_row[nb] for nb in fresh]
+            dists = 1.0 - vecs[rows] @ query  # batched neighbour evals
+            for nb, d in zip(fresh, dists):
+                d = float(d)
                 if len(heap) < ef:
                     tie += 1
                     queue.append(nb)
@@ -129,23 +168,24 @@ class HNSWIndex(Index):
         """Port of `_heuristic_neighbour_selection` (`hnsw.rs:104-164`),
         including the off-by-one that admits m+1 neighbours."""
         neighbours: List[DistanceCandidatePair] = []
+        nbr_rows: List[int] = []
         for i in range(len(candidates_desc) - 1, -1, -1):  # closest first
             if len(neighbours) > m:
                 break
             c = candidates_desc[i]
             if c.candidate_id == target_node:
                 continue
-            cv = self.id_to_vec[c.candidate_id]
+            row = self._id_row[c.candidate_id]
             if neighbours:
-                should_add = True
-                for nb in neighbours:
-                    if c.distance > self._dist(cv, self.id_to_vec[nb.candidate_id]):
-                        should_add = False
-                        break
-                if should_add:
+                # batched: d(c, r) for all r in R; reject if c is closer
+                # to ANY current neighbour than to the target
+                d_to_nbrs = 1.0 - self._vecs[nbr_rows] @ self._vecs[row]
+                if not bool(np.any(c.distance > d_to_nbrs)):
                     neighbours.append(c)
+                    nbr_rows.append(row)
             else:
                 neighbours.append(c)
+                nbr_rows.append(row)
         return neighbours
 
     def _add_edge(self, layer: _Layer, u: int, v: DistanceCandidatePair) -> None:
@@ -200,7 +240,7 @@ class HNSWIndex(Index):
         emb = np.asarray(embedding, dtype=np.float32).reshape(-1)
         if not self.dim:
             self.dim = emb.shape[0]
-        self.id_to_vec[embedding_id] = emb
+        self._set_vec(embedding_id, emb)
         self._device_cache = None
 
         top_layer = self.layers[-1]
@@ -250,7 +290,7 @@ class HNSWIndex(Index):
         vectors = np.asarray(vectors, dtype=np.float32)
         # parity: id_to_vec is fully populated up front (`hnsw.rs:453-455`)
         for idx, vec in enumerate(vectors):
-            index.id_to_vec[idx] = vec
+            index._set_vec(idx, vec)
         if vectors.size:
             index.dim = vectors.shape[1]
         for idx, vec in enumerate(vectors):
@@ -290,13 +330,13 @@ class HNSWIndex(Index):
     def _ensure_device_cache(self):
         if self._device_cache is not None:
             return self._device_cache
-        node_ids = list(self.id_to_vec.keys())
+        node_ids = list(self._id_row.keys())
         compact = {nid: i for i, nid in enumerate(node_ids)}
         n = len(node_ids)
         n_pad = round_up(max(n, 1), 8)
         vecs = np.zeros((n_pad, self.dim), np.float32)
         for nid, i in compact.items():
-            vecs[i] = self.id_to_vec[nid]
+            vecs[i] = self._vec(nid)
         adjs = []
         for layer in self.layers:
             deg = max((len(a.neighbours) for a in layer.adjacency.values()), default=1)
@@ -377,10 +417,10 @@ class HNSWIndex(Index):
                         np.asarray(sorted(item.neighbours), dtype=np.uint64)
                     )
             w.f32(self.layer_multiplier)
-            w.u64(len(self.id_to_vec))
-            for nid, vec in self.id_to_vec.items():
+            w.u64(len(self._id_row))
+            for nid, row in self._id_row.items():
                 w.u64(nid)
-                w.f32_array(vec)
+                w.f32_array(self._vecs[row])
 
     @classmethod
     def load_index(
@@ -415,13 +455,14 @@ class HNSWIndex(Index):
                 layers.append(layer)
             layer_multiplier = r.f32()
             n_vecs = r.u64()
-            id_to_vec = {}
+            id_vec_pairs = []
             for _ in range(n_vecs):
                 nid = r.u64()
-                id_to_vec[int(nid)] = r.f32_array(dim)
+                id_vec_pairs.append((int(nid), r.f32_array(dim)))
         index = cls(ef_construction, ef_search, num_layers, num_neighbours, config=config)
         index.layers = layers
         index.layer_multiplier = layer_multiplier
-        index.id_to_vec = id_to_vec
         index.dim = dim
+        for nid, vec in id_vec_pairs:
+            index._set_vec(nid, vec)
         return index

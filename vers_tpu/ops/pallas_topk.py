@@ -29,37 +29,55 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vers_tpu.core import round_up
-from vers_tpu.ops.topk import fused_scan_topk
+from vers_tpu.ops.topk import approx_scan_topk, fused_scan_topk
 
 MAX_PALLAS_K = 128
-DEFAULT_QUERY_TILE = 1024
-DEFAULT_CHUNK = 512
+DEFAULT_QUERY_TILE = 256
+DEFAULT_CHUNK = 1024
 
 
 def _merge_topk(best_d, best_i, dist, rows, k: int):
     """Merge a (QT, C) candidate tile into the running (QT, K) best set
-    via K unrolled extract-min passes. ``rows`` is (1, C). Returns
-    (new_d, new_i)."""
-    cand_d = jnp.concatenate([best_d, dist], axis=1)  # (QT, K + C)
+    via K extract-min passes under a fori_loop (bounded VMEM: one live
+    candidate buffer, not K unrolled copies). ``rows`` is (1, C).
+    Returns (new_d, new_i)."""
+    cand_d0 = jnp.concatenate([best_d, dist], axis=1)  # (QT, K + C)
     cand_i = jnp.concatenate(
         [best_i, jnp.broadcast_to(rows, dist.shape).astype(jnp.int32)],
         axis=1,
     )
-    col = jax.lax.broadcasted_iota(jnp.int32, cand_d.shape, 1)
-    out_d = []
-    out_i = []
-    for _ in range(k):
+    qt = cand_d0.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, cand_d0.shape, 1)
+    col_k = jax.lax.broadcasted_iota(jnp.int32, (qt, k), 1)
+
+    def body(t, carry):
+        cand_d, out_d, out_i = carry
         am = jnp.argmin(cand_d, axis=1)  # ties -> lowest col -> carry first
         m = jnp.min(cand_d, axis=1)
         picked = col == am[:, None]
-        out_d.append(m)
-        out_i.append(jnp.sum(jnp.where(picked, cand_i, 0), axis=1))
+        got_i = jnp.sum(jnp.where(picked, cand_i, 0), axis=1).astype(jnp.int32)
+        at_t = col_k == t  # masked column write (Mosaic has no DUS on values)
+        out_d = jnp.where(at_t, m[:, None], out_d)
+        out_i = jnp.where(at_t, got_i[:, None], out_i)
         cand_d = jnp.where(picked, jnp.inf, cand_d)
-    return jnp.stack(out_d, axis=1), jnp.stack(out_i, axis=1).astype(jnp.int32)
+        return cand_d, out_d, out_i
+
+    _, out_d, out_i = jax.lax.fori_loop(
+        0,
+        k,
+        body,
+        (
+            cand_d0,
+            jnp.full((qt, k), jnp.inf, jnp.float32),
+            jnp.full((qt, k), -1, jnp.int32),
+        ),
+    )
+    return out_d, out_i
 
 
 def _kernel(n_valid_ref, q_ref, x_ref, xx_ref, out_d_ref, out_i_ref,
-            best_d, best_i, *, k: int, chunk: int, metric: str):
+            best_d, best_i, *, k: int, chunk: int, metric: str,
+            precision: str = "highest"):
     j = pl.program_id(1)
     n_chunks = pl.num_programs(1)
 
@@ -68,18 +86,25 @@ def _kernel(n_valid_ref, q_ref, x_ref, xx_ref, out_d_ref, out_i_ref,
         best_d[:] = jnp.full_like(best_d, jnp.inf)
         best_i[:] = jnp.full_like(best_i, -1)
 
-    q = q_ref[:].astype(jnp.float32)
-    x = x_ref[:].astype(jnp.float32)
+    # keep native dtype into the MXU (bf16 inputs run at full MXU rate);
+    # accumulate in f32 always
+    q = q_ref[:]
+    x = x_ref[:]
     dot = jax.lax.dot_general(
         q, x,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=dict(
+            highest=jax.lax.Precision.HIGHEST,
+            high=jax.lax.Precision.HIGH,
+            default=jax.lax.Precision.DEFAULT,
+        )[precision],
     )  # (QT, C)
     if metric == "cosine":
         dist = 1.0 - dot
     else:
-        qq = jnp.sum(q * q, axis=1, keepdims=True)
+        qf = q.astype(jnp.float32)
+        qq = jnp.sum(qf * qf, axis=1, keepdims=True)
         dist = jnp.maximum(qq + xx_ref[:] - 2.0 * dot, 0.0)  # xx is (1, C)
 
     rows = j * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
@@ -104,7 +129,9 @@ def _kernel(n_valid_ref, q_ref, x_ref, xx_ref, out_d_ref, out_i_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "metric", "query_tile", "chunk_size", "interpret"),
+    static_argnames=(
+        "k", "metric", "query_tile", "chunk_size", "interpret", "precision"
+    ),
 )
 def pallas_distance_topk(
     queries: jnp.ndarray,
@@ -115,6 +142,7 @@ def pallas_distance_topk(
     query_tile: int = DEFAULT_QUERY_TILE,
     chunk_size: int = DEFAULT_CHUNK,
     interpret: bool = False,
+    precision: str = "highest",
 ):
     """Exact top-k via the fused Pallas kernel.
 
@@ -146,7 +174,9 @@ def pallas_distance_topk(
     n_valid_arr = jnp.asarray(n_valid, jnp.int32).reshape(1, 1)
 
     grid = (q_pad // qt, n_pad // chunk)
-    kernel = functools.partial(_kernel, k=k, chunk=chunk, metric=metric)
+    kernel = functools.partial(
+        _kernel, k=k, chunk=chunk, metric=metric, precision=precision
+    )
 
     out_d, out_i = pl.pallas_call(
         kernel,
@@ -189,10 +219,18 @@ def distance_topk(
     metric: str = "sq_euclidean",
     chunk_size: int = 16384,
     force: str | None = None,
+    precision: str = "highest",
 ):
     """Dispatcher: fused Pallas kernel on TPU (k <= MAX_PALLAS_K), pure
-    XLA ``fused_scan_topk`` otherwise. ``force`` in {"pallas", "xla"}
-    pins a path (tests)."""
+    XLA ``fused_scan_topk`` otherwise. ``force`` in {"pallas", "xla",
+    "approx"} pins a path (tests / speed). ``precision``: "highest"
+    (f32-exact distances), or "default" (bf16 matmul — fastest; fine
+    for ranking, distances good to ~3 decimal digits).
+
+    "approx" routes to ``approx_scan_topk`` (TPU PartialReduce top-k,
+    ~4x faster, recall ~0.99 vs exact)."""
+    if force == "approx":
+        return approx_scan_topk(queries, corpus, n_valid, k, metric=metric)
     use_pallas = (
         force == "pallas"
         or (
@@ -205,6 +243,7 @@ def distance_topk(
         return pallas_distance_topk(
             queries, corpus, n_valid, k, metric=metric,
             interpret=jax.default_backend() != "tpu",
+            precision=precision,
         )
     return fused_scan_topk(
         queries, corpus, n_valid, k, metric=metric, chunk_size=chunk_size
