@@ -1,0 +1,64 @@
+"""Batched (wave-parallel) HNSW construction: recall parity vs ground
+truth and vs the sequential (reference-faithful) build."""
+
+import numpy as np
+import pytest
+
+from vers_tpu.index.hnsw import HNSWIndex
+from vers_tpu.ops.hnsw_build import draw_insertion_layers
+from vers_tpu.utils.harness import recall_at_k
+
+
+def _normed(rng, n, d):
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def test_insertion_layer_distribution():
+    ins = draw_insertion_layers(20000, 6, 12, seed=0)
+    # exponential decay with rate 1/ln(M): P(l >= 1) = e^{-ln 12} = 1/12
+    frac = (ins >= 1).mean()
+    assert 0.04 < frac < 0.14
+    assert ins.max() <= 5 and ins.min() == 0
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(21)
+    return _normed(rng, 600, 24)
+
+
+def test_batched_build_recall(corpus):
+    x = corpus
+    idx = HNSWIndex.build_index_batched(4, 48, 32, 8, x, wave_cap=128)
+    nodes = idx.get_num_nodes_in_layers()
+    assert nodes[0] == 600
+    assert all(a >= b for a, b in zip(nodes, nodes[1:]))
+    q = x[:64]
+    truth = np.argsort(-(q @ x.T), axis=1)[:, :10]
+    res = idx.search_batch(q, 10)
+    assert recall_at_k(res.ids, truth) > 0.85
+    # host parity search also works on the wave-built graph
+    single = idx.search_approximate(x[3], 10)
+    assert single[0][0] == 3
+
+
+def test_batched_vs_sequential_recall(corpus):
+    x = corpus
+    q = x[100:140]
+    truth = np.argsort(-(q @ x.T), axis=1)[:, :10]
+    seq = HNSWIndex.build_index(4, 48, 32, 8, x)
+    bat = HNSWIndex.build_index_batched(4, 48, 32, 8, x, wave_cap=128)
+    r_seq = recall_at_k(seq.search_batch(q, 10).ids, truth)
+    r_bat = recall_at_k(bat.search_batch(q, 10).ids, truth)
+    assert r_bat > r_seq - 0.1  # parity within tolerance
+
+
+def test_batched_roundtrip(tmp_path, corpus):
+    x = corpus
+    idx = HNSWIndex.build_index_batched(4, 48, 32, 8, x, wave_cap=128)
+    p = str(tmp_path / "hb.index")
+    idx.save_index(p)
+    re = HNSWIndex.load_index(p, dim=24)
+    assert re.get_num_nodes_in_layers() == idx.get_num_nodes_in_layers()
+    assert re.search_approximate(x[9], 10) == idx.search_approximate(x[9], 10)

@@ -297,6 +297,44 @@ class HNSWIndex(Index):
             index._add_node(vec, idx)
         return index
 
+    @classmethod
+    def build_index_batched(
+        cls,
+        num_layers: int,
+        ef_construction: int,
+        ef_search: int,
+        num_neighbours: int,
+        vectors: np.ndarray,
+        seed: int = 0,
+        wave_cap: int = 1024,
+    ) -> "HNSWIndex":
+        """TPU wave-parallel construction (`vers_tpu.ops.hnsw_build`):
+        same parameters and layer statistics as ``build_index`` but
+        built with batched on-device beam searches instead of the
+        reference's sequential host loop. Graph differs node-by-node
+        (waves freeze the graph within a batch); recall parity is
+        asserted in tests."""
+        from vers_tpu.ops.hnsw_build import build_graph
+
+        index = cls(ef_construction, ef_search, num_layers, num_neighbours, seed=seed)
+        vectors = np.asarray(vectors, dtype=np.float32)
+        for idx_, vec in enumerate(vectors):
+            index._set_vec(idx_, vec)
+        if vectors.size:
+            index.dim = vectors.shape[1]
+        _, out_layers = build_graph(
+            vectors, num_layers, ef_construction, num_neighbours,
+            seed=seed, wave_cap=wave_cap,
+        )
+        for l, layer_dict in enumerate(out_layers):
+            layer = index.layers[l]
+            for gid, nbrs in layer_dict.items():
+                item = AdjacencyItem()
+                for nid, dist in nbrs:
+                    item.insert(int(nid), float(dist))
+                layer.adjacency[int(gid)] = item
+        return index
+
     def get_num_nodes_in_layers(self) -> List[int]:
         return [len(l.adjacency) for l in self.layers]
 

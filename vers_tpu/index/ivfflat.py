@@ -134,7 +134,7 @@ class IVFFlatIndex(Index):
         nprobe = nprobe if nprobe is not None else (self.config.nprobe or 1)
         nprobe = max(1, min(nprobe, self.num_centroids))
         qdev = jnp.asarray(queries)
-        probes = _probe_clusters(qdev, self._centroids_dev, nprobe)
+        probes = np.asarray(_probe_clusters(qdev, self._centroids_dev, nprobe))
         dists, rows = binned_topk(
             qdev,
             [probes[:, r] for r in range(nprobe)],

@@ -42,11 +42,16 @@ def make_layout(values: np.ndarray, bin_ids: np.ndarray, num_bins: int) -> Dict:
     corpus_sorted = np.pad(values[order], ((0, n_pad - n), (0, 0)))
     sorted_to_orig = np.full((n_pad,), -1, np.int32)
     sorted_to_orig[:n] = order.astype(np.int32)
+    rbin = np.full((n_pad,), -1, np.int32)
+    rbin[:n] = np.repeat(np.arange(num_bins, dtype=np.int32), sizes)
     return dict(
         corpus_sorted=jnp.asarray(corpus_sorted),
         sorted_to_orig=jnp.asarray(sorted_to_orig),
         start=jnp.asarray(starts),
         size=jnp.asarray(sizes),
+        rbin=jnp.asarray(rbin),
+        sizes_host=sizes,
+        starts_host=starts,
         max_bin=int(sizes.max()) if n else 1,
         num_bins=num_bins,
     )
@@ -147,6 +152,109 @@ def merge_probe_results(all_d, all_i, top_k: int):
     return fin_d, fin_i
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("top_k", "q_blk", "r_blk", "metric", "use_approx"),
+)
+def scan_packed(
+    q_sorted,        # (Q_pad, d) queries sorted by bin (tail padding)
+    qbin_sorted,     # (Q_pad,) bin id per sorted query (-1 pad)
+    group_qstart,    # (G,) int32 offsets into q_sorted
+    group_rstart,    # (G,) int32 offsets into corpus_sorted
+    corpus_sorted,   # (n_pad, d) bin-major
+    rbin,            # (n_pad,) int32 bin id per sorted row (-1 pad)
+    top_k: int,
+    q_blk: int,
+    r_blk: int,
+    metric: str = "sq_euclidean",
+    use_approx: bool = False,
+):
+    """Packed dense per-group scan: each scan step covers a contiguous
+    run of WHOLE bins (clusters/leaves) packed to fill a fixed
+    (q_blk, r_blk) tile; a bin-equality mask keeps each query scored
+    only against its own bin's rows. Compared to one-step-per-bin this
+    removes the skew padding (mean-vs-max bin sizes) almost entirely.
+
+    Every query's bin lies wholly inside exactly one group, so each
+    sorted query row is written exactly once. Returns (res_d, res_i)
+    over sorted query order, shape (Q_pad + q_blk, top_k), positions
+    are sorted-corpus rows (-1 invalid).
+    """
+    q_pad, d = q_sorted.shape
+    n_pad = corpus_sorted.shape[0]
+    kk = min(top_k, r_blk)
+
+    q_ext = jnp.pad(q_sorted, ((0, q_blk), (0, 0)))
+    qbin_ext = jnp.pad(qbin_sorted, (0, q_blk), constant_values=-1)
+
+    res_d = jnp.full((q_pad + q_blk, top_k), jnp.inf, jnp.float32)
+    res_i = jnp.full((q_pad + q_blk, top_k), -1, jnp.int32)
+
+    def per_group(carry, g):
+        res_d, res_i = carry
+        qs, rs = g
+        qb = jax.lax.dynamic_slice(q_ext, (qs, 0), (q_blk, d))
+        qbins = jax.lax.dynamic_slice(qbin_ext, (qs,), (q_blk,))
+        base = jnp.minimum(rs, n_pad - r_blk)
+        rb = jax.lax.dynamic_slice(corpus_sorted, (base, 0), (r_blk, d))
+        rbins = jax.lax.dynamic_slice(rbin, (base,), (r_blk,))
+        dist = pairwise_distance(qb, rb, metric)
+        mask = (qbins[:, None] == rbins[None, :]) & (qbins[:, None] >= 0)
+        dist = jnp.where(mask, dist, jnp.inf)
+        if use_approx:
+            bd, bi = jax.lax.approx_min_k(dist, kk, recall_target=0.99)
+        else:
+            bd, bi = topk_smallest(dist, kk)
+        if kk < top_k:
+            bd = jnp.pad(bd, ((0, 0), (0, top_k - kk)), constant_values=jnp.inf)
+            bi = jnp.pad(bi, ((0, 0), (0, top_k - kk)))
+        rows = jnp.where(jnp.isfinite(bd), base + bi, -1)
+        res_d = jax.lax.dynamic_update_slice(res_d, bd, (qs, 0))
+        res_i = jax.lax.dynamic_update_slice(res_i, rows, (qs, 0))
+        return (res_d, res_i), None
+
+    (res_d, res_i), _ = jax.lax.scan(
+        per_group, (res_d, res_i), (group_qstart, group_rstart)
+    )
+    return res_d, res_i
+
+
+def pack_groups(
+    qcount: np.ndarray,   # (k,) queries per bin (this probe)
+    sizes: np.ndarray,    # (k,) rows per bin
+    starts: np.ndarray,   # (k,) row offsets
+    q_blk: int,
+    r_blk: int,
+):
+    """Greedy pack consecutive whole bins into (q_blk, r_blk) tiles.
+    Requires q_blk >= max(qcount) and r_blk >= max(sizes). Returns
+    (group_qstart, group_rstart) arrays."""
+    gq, gr = [], []
+    qs = 0
+    c = 0
+    k = len(sizes)
+    while c < k:
+        if qcount[c] == 0:
+            c += 1  # unqueried bins between groups are never scanned
+            continue
+        q_used = 0
+        r_start = starts[c]
+        r_used = 0
+        first = True
+        while c < k and (
+            first
+            or (q_used + qcount[c] <= q_blk and r_used + sizes[c] <= r_blk)
+        ):
+            q_used += int(qcount[c])
+            r_used += int(sizes[c])
+            c += 1
+            first = False
+        gq.append(qs)
+        gr.append(int(r_start))
+        qs += q_used
+    return np.asarray(gq, np.int32), np.asarray(gr, np.int32)
+
+
 def binned_topk(
     queries: jnp.ndarray,
     probe_bins: Sequence[jnp.ndarray],   # per probe rank: (Q,) bin ids
@@ -158,27 +266,52 @@ def binned_topk(
     rank (RP-forest: one per tree) or repeat (IVF: shared). Returns
     (dists (Q, top_k), orig_row_ids (Q, top_k) int32)."""
     q_n = queries.shape[0]
+    use_approx = jax.default_backend() == "tpu"
     out_d, out_i = [], []
     for bins, layout in zip(probe_bins, layouts):
-        bins_h = np.asarray(bins)
-        counts = np.bincount(bins_h, minlength=layout["num_bins"])
-        q_blk = min(round_up(max(int(counts.max()), 1), 64), round_up(q_n, 8))
-        r_blk = round_up(
-            min(max(layout["max_bin"], top_k), layout["corpus_sorted"].shape[0]),
-            128,
-        )
-        d, i = scan_one_probe(
-            queries,
-            jnp.asarray(bins_h.astype(np.int32)),
+        bins_h = np.asarray(bins).astype(np.int64)
+        k = layout["num_bins"]
+        sizes = layout["sizes_host"]
+        starts = layout["starts_host"]
+        qcount = np.bincount(bins_h, minlength=k)
+        n_pad = layout["corpus_sorted"].shape[0]
+
+        # tile sizes: big enough for the largest single bin; r_blk
+        # targets large dense tiles, q_blk sized so groups fill both
+        r_blk = min(round_up(max(layout["max_bin"], top_k, 1024), 128), n_pad)
+        n_used = int(sizes[qcount > 0].sum())
+        g_est = max(n_used // r_blk, 1)
+        q_target = max(int(qcount.max()), (q_n // g_est) * 2, 64)
+        q_blk = min(round_up(q_target, 64), round_up(q_n, 8))
+
+        order = np.argsort(bins_h, kind="stable")
+        q_sorted = np.asarray(queries, np.float32)[order]
+        qbin_sorted = bins_h[order].astype(np.int32)
+        gq, gr = pack_groups(qcount, sizes, starts, q_blk, r_blk)
+        # pad the group list to limit recompiles; dummy groups write
+        # into the scratch tail (qs = q_n) only
+        g_pad = round_up(max(len(gq), 1), 16)
+        gq = np.pad(gq, (0, g_pad - len(gq)), constant_values=q_n)
+        gr = np.pad(gr, (0, g_pad - len(gr)))
+        res_d, res_i = scan_packed(
+            jnp.asarray(q_sorted),
+            jnp.asarray(qbin_sorted),
+            jnp.asarray(gq),
+            jnp.asarray(gr),
             layout["corpus_sorted"],
-            layout["sorted_to_orig"],
-            layout["start"],
-            layout["size"],
+            layout["rbin"],
             top_k=top_k,
             q_blk=q_blk,
             r_blk=r_blk,
             metric=metric,
-            use_approx=jax.default_backend() == "tpu",
+            use_approx=use_approx,
+        )
+        # unsort + map to original rows on device (no host round-trip)
+        inv = jnp.asarray(np.argsort(order, kind="stable"))
+        pos = res_i[:q_n][inv]
+        d = res_d[:q_n][inv]
+        i = jnp.where(
+            pos >= 0, layout["sorted_to_orig"][jnp.clip(pos, 0, None)], -1
         )
         out_d.append(d)
         out_i.append(i)

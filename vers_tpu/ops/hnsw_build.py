@@ -1,0 +1,348 @@
+"""Batched HNSW construction on TPU.
+
+The reference builds its graph one node at a time on the host
+(`vers/src/indexes/hnsw.rs:348-432`): descend with ef_construction
+searches, heuristic-select M neighbours, add undirected edges, trim.
+That loop is inherently serial, so a 1M-vector build is hours of
+pointer-chasing.
+
+This module re-expresses construction as **wave-parallel insertion**:
+nodes are inserted in waves (1, 2, 4, ... up to ``wave_cap``); within a
+wave every node runs the SAME layer-descent beam search against the
+frozen graph of all previous waves, selects neighbours with the paper's
+heuristic (vectorized: one (W, ef, ef) candidate-pair distance matmul +
+a lax.scan over candidates), and edges are committed with scatters:
+
+- forward rows are written directly (new nodes own empty rows),
+- reverse edges go into per-row slack slots (rank within the wave's
+  incoming set, computed by a device sort), then affected rows are
+  compacted back to degree by distance.
+
+Wave members don't see each other as candidates (the graph is frozen
+per wave) — the standard batched-HNSW relaxation; recall parity vs the
+sequential build is asserted in tests. Reverse-edge trimming is
+distance-based (the reference's `_trim_neighbours` re-runs the
+heuristic — a documented deviation, PARITY.md).
+
+Layers use compact row indexing (insertion layers are drawn up front,
+so per-layer membership is static): adjacency rows exist only for a
+layer's members; neighbour ids are global.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import List, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vers_tpu.core import round_up
+from vers_tpu.ops.topk import topk_smallest
+
+_INF = jnp.inf
+
+
+def draw_insertion_layers(n: int, num_layers: int, m: int, seed: int) -> np.ndarray:
+    """Parity with `get_insertion_layer` (`hnsw.rs:335-346`):
+    min(int(-ln(U) / ln(M)), L-1), drawn up front for the whole corpus."""
+    rng = np.random.default_rng(seed)
+    u = np.maximum(rng.random(n), 1e-12)
+    mult = 1.0 / math.log(m)
+    return np.minimum((-np.log(u) * mult).astype(np.int64), num_layers - 1)
+
+
+def _beam(q, vecs, adj, rank_map, entry, ef: int, max_steps: int):
+    """Masked beam search over one layer. ``adj`` rows are compact
+    (layer-local); ``rank_map`` (n_pad,) maps global id -> compact row
+    (-1 absent). Entry (W,) global ids. Returns (beam_d, beam_i)
+    ascending, beam_i global ids (-1 pad)."""
+    w, d = q.shape
+    n_pad = vecs.shape[0]
+    deg = adj.shape[1]
+
+    def dist_to(ids):
+        v = jnp.take(vecs, jnp.clip(ids, 0, n_pad - 1), axis=0)
+        dots = jnp.einsum("wmd,wd->wm", v, q)
+        return jnp.where(ids >= 0, 1.0 - dots, _INF)
+
+    beam_i = jnp.full((w, ef), -1, jnp.int32).at[:, 0].set(entry.astype(jnp.int32))
+    beam_d = jnp.full((w, ef), _INF).at[:, 0].set(dist_to(entry[:, None])[:, 0])
+    expanded = jnp.zeros((w, ef), bool)
+
+    def cond(state):
+        step, _, _, _, active = state
+        return jnp.logical_and(step < max_steps, active)
+
+    def body(state):
+        step, beam_d, beam_i, expanded, _ = state
+        rank = jnp.where(expanded | (beam_i < 0), _INF, beam_d)
+        pick = jnp.argmin(rank, axis=1)
+        has = jnp.take_along_axis(rank, pick[:, None], axis=1)[:, 0] < _INF
+        node = jnp.take_along_axis(beam_i, pick[:, None], axis=1)[:, 0]
+        col = jax.lax.broadcasted_iota(jnp.int32, (w, ef), 1)
+        expanded = expanded | ((col == pick[:, None]) & has[:, None])
+
+        row = jnp.take(rank_map, jnp.clip(node, 0, n_pad - 1))
+        nbrs = jnp.take(adj, jnp.clip(row, 0, adj.shape[0] - 1), axis=0)
+        nbrs = jnp.where((has & (row >= 0))[:, None], nbrs, -1)
+        nd = dist_to(nbrs)
+        dup = jnp.any(nbrs[:, :, None] == beam_i[:, None, :], axis=2) & (nbrs >= 0)
+        nd = jnp.where(dup, _INF, nd)
+
+        cat_d = jnp.concatenate([beam_d, nd], axis=1)
+        cat_i = jnp.concatenate([beam_i, nbrs], axis=1)
+        cat_e = jnp.concatenate([expanded, jnp.zeros((w, deg), bool)], axis=1)
+        new_d, sel = topk_smallest(cat_d, ef)
+        new_i = jnp.take_along_axis(cat_i, sel, axis=1)
+        new_e = jnp.take_along_axis(cat_e, sel, axis=1)
+        new_i = jnp.where(jnp.isfinite(new_d), new_i, -1)
+        active = jnp.any((~new_e) & (new_i >= 0) & jnp.isfinite(new_d))
+        return step + 1, new_d, new_i, new_e, active
+
+    state = (jnp.array(0, jnp.int32), beam_d, beam_i, expanded, jnp.array(True))
+    _, beam_d, beam_i, _, _ = jax.lax.while_loop(cond, body, state)
+    return beam_d, beam_i
+
+
+def _heuristic_select(q, vecs, beam_d, beam_i, m: int):
+    """Vectorized neighbour-selection heuristic (paper §4, reference
+    `hnsw.rs:104-164` incl. the m+1 quirk): accept candidate c iff
+    d(c, target) <= min over already-selected s of d(c, s).
+    Returns (sel_d, sel_i) of width m+1, ascending, -1/inf padded."""
+    w, ef = beam_d.shape
+    n_pad = vecs.shape[0]
+    cvecs = jnp.take(vecs, jnp.clip(beam_i, 0, n_pad - 1), axis=0)  # (W, ef, d)
+    pair = 1.0 - jnp.einsum("wed,wfd->wef", cvecs, cvecs)           # (W, ef, ef)
+    valid = (beam_i >= 0) & jnp.isfinite(beam_d)
+
+    # fori state: min over selected s of d(c_j, s), for EVERY candidate j
+    min_sel0 = jnp.full((w, ef), _INF)
+    count0 = jnp.zeros((w,), jnp.int32)
+    accepted0 = jnp.zeros((w, ef), bool)
+
+    def body(i, state):
+        min_sel, count, accepted = state
+        d_i = beam_d[:, i]
+        valid_i = valid[:, i]
+        ok = (count == 0) | (d_i <= min_sel[:, i])
+        accept = valid_i & ok & (count <= m)
+        # update per-candidate min distance to the selected set
+        dcol = pair[:, :, i]  # d(c_j, c_i) for all j
+        min_sel = jnp.where(accept[:, None], jnp.minimum(min_sel, dcol), min_sel)
+        count = count + accept.astype(jnp.int32)
+        accepted = accepted.at[:, i].set(accept)
+        return min_sel, count, accepted
+
+    _, _, accepted = jax.lax.fori_loop(0, ef, body, (min_sel0, count0, accepted0))
+    sel_d = jnp.where(accepted, beam_d, _INF)
+    out_d, order = topk_smallest(sel_d, min(m + 1, ef))
+    out_i = jnp.take_along_axis(beam_i, order, axis=1)
+    out_i = jnp.where(jnp.isfinite(out_d), out_i, -1)
+    return out_d, out_i
+
+
+def _commit_edges(adj, dist, rank_map, u_ids, sel_i, sel_d, connect, deg: int, slack: int):
+    """Write forward rows for new nodes and reverse edges into slack
+    slots, then compact affected rows back to ``deg`` by distance.
+    adj/dist: (rows, deg+slack). u_ids (W,) global; sel_i/sel_d
+    (W, S<=deg). Returns (adj, dist)."""
+    w, s = sel_i.shape
+    rows_total = adj.shape[0]
+    width = deg + slack
+    n_pad = rank_map.shape[0]
+    dump = rows_total  # scatter dump row (buffers padded by caller)
+
+    # ---- forward rows -------------------------------------------------
+    fwd_i = jnp.full((w, width), -1, jnp.int32)
+    fwd_d = jnp.full((w, width), _INF)
+    fwd_i = jax.lax.dynamic_update_slice(fwd_i, sel_i, (0, 0))
+    fwd_d = jax.lax.dynamic_update_slice(fwd_d, sel_d, (0, 0))
+    u_row = jnp.take(rank_map, jnp.clip(u_ids, 0, n_pad - 1))
+    u_row = jnp.where(connect & (u_ids >= 0) & (u_row >= 0), u_row, dump)
+    adj = adj.at[u_row].set(fwd_i, mode="drop")
+    dist = dist.at[u_row].set(fwd_d, mode="drop")
+
+    # ---- reverse edges ------------------------------------------------
+    e = w * s
+    v_flat = jnp.where(connect[:, None], sel_i, -1).reshape(e)
+    d_flat = jnp.where(connect[:, None], sel_d, _INF).reshape(e)
+    u_flat = jnp.broadcast_to(u_ids[:, None], (w, s)).reshape(e)
+    valid = (v_flat >= 0) & jnp.isfinite(d_flat)
+
+    # sort by (v, d): closest incoming edges win the slack slots
+    key_d = jnp.argsort(jnp.where(valid, d_flat, _INF), stable=True)
+    v1, d1, u1, val1 = v_flat[key_d], d_flat[key_d], u_flat[key_d], valid[key_d]
+    key_v = jnp.argsort(jnp.where(val1, v1, jnp.iinfo(jnp.int32).max), stable=True)
+    v2, d2, u2, val2 = v1[key_v], d1[key_v], u1[key_v], val1[key_v]
+
+    iota = jnp.arange(e, dtype=jnp.int32)
+    is_start = jnp.concatenate([jnp.ones((1,), bool), v2[1:] != v2[:-1]])
+    seg_start = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, iota, -1)
+    )
+    rank = iota - seg_start
+    keep = val2 & (rank < slack)
+    v_row = jnp.take(rank_map, jnp.clip(v2, 0, n_pad - 1))
+    v_row_k = jnp.where(keep & (v_row >= 0), v_row, dump)
+    slot = jnp.where(keep, deg + rank, 0)
+    adj = adj.at[v_row_k, slot].set(u2.astype(jnp.int32), mode="drop")
+    dist = dist.at[v_row_k, slot].set(d2, mode="drop")
+
+    # ---- compact affected rows back to deg ----------------------------
+    rows = jnp.where(val2 & (v_row >= 0), v_row, dump)
+    ga = adj.at[rows].get(mode="fill", fill_value=-1)
+    gd = dist.at[rows].get(mode="fill", fill_value=_INF)
+    gd = jnp.where(ga >= 0, gd, _INF)
+    nd, order = topk_smallest(gd, width)
+    ni = jnp.take_along_axis(ga, order, axis=1)
+    ni = jnp.where(jnp.isfinite(nd), ni, -1)
+    # zero out slack after compaction
+    col = jax.lax.broadcasted_iota(jnp.int32, (e, width), 1)
+    ni = jnp.where(col < deg, ni, -1)
+    nd = jnp.where(col < deg, nd, _INF)
+    adj = adj.at[rows].set(ni, mode="drop")
+    dist = dist.at[rows].set(nd, mode="drop")
+    return adj, dist
+
+
+def make_wave_step(num_layers: int, m: int, efc: int, degs: List[int], slack: int):
+    """Build the jitted per-wave function. degs[l] = forward degree cap
+    of layer l (m_l + 1 for the heuristic's m+1 quirk); adjacency
+    buffers are (rows, degs[l] + slack)."""
+
+    @functools.partial(jax.jit, donate_argnums=(2, 3))
+    def wave_step(vecs, rank_maps, adjs, dists, wave_ids, ins_l, entry):
+        w = wave_ids.shape[0]
+        n_pad = vecs.shape[0]
+        alive = wave_ids >= 0
+        q = jnp.take(vecs, jnp.clip(wave_ids, 0, n_pad - 1), axis=0)
+        ent = jnp.broadcast_to(entry, (w,)).astype(jnp.int32)
+
+        new_adjs = list(adjs)
+        new_dists = list(dists)
+        for l in range(num_layers - 1, -1, -1):
+            deg = degs[l]
+            beam_d, beam_i = _beam(
+                q, vecs, new_adjs[l], rank_maps[l], ent, efc,
+                max_steps=4 * efc,
+            )
+            connect = alive & (ins_l >= l)
+            m_l = 2 * m if l == 0 else m
+            sel_d, sel_i = _heuristic_select(q, vecs, beam_d, beam_i, m_l)
+            # align selection width to deg
+            if sel_d.shape[1] < deg:
+                padn = deg - sel_d.shape[1]
+                sel_d = jnp.pad(sel_d, ((0, 0), (0, padn)), constant_values=_INF)
+                sel_i = jnp.pad(sel_i, ((0, 0), (0, padn)), constant_values=-1)
+            else:
+                sel_d = sel_d[:, :deg]
+                sel_i = sel_i[:, :deg]
+            new_adjs[l], new_dists[l] = _commit_edges(
+                new_adjs[l], new_dists[l], rank_maps[l],
+                wave_ids, sel_i, sel_d, connect, deg, slack,
+            )
+            # entry for the next layer down = best candidate
+            # (`hnsw.rs:383,415`)
+            best = beam_i[:, 0]
+            ent = jnp.where(alive & (best >= 0), best, ent)
+        return new_adjs, new_dists
+
+    return wave_step
+
+
+def build_graph(
+    vectors: np.ndarray,
+    num_layers: int,
+    ef_construction: int,
+    m: int,
+    seed: int = 0,
+    wave_cap: int = 1024,
+    slack: int | None = None,
+):
+    """Run the full batched build. Returns (ins_layers (n,), per-layer
+    adjacency dict {global_id: [(nbr_global_id, dist), ...]})."""
+    vectors = np.asarray(vectors, dtype=np.float32)
+    n, d = vectors.shape
+    if n == 0:
+        return np.zeros((0,), np.int64), [dict() for _ in range(num_layers)]
+    slack = slack if slack is not None else max(m, 8)
+    ins = draw_insertion_layers(n, num_layers, m, seed)
+    ins[0] = num_layers - 1  # first node joins every layer (hnsw.rs:417-429)
+
+    n_pad = round_up(n, 128)
+    vecs = jnp.asarray(np.pad(vectors, ((0, n_pad - n), (0, 0))))
+
+    # per-layer compact rows
+    rank_maps = []
+    adjs = []
+    dists = []
+    degs = []
+    members: List[np.ndarray] = []
+    for l in range(num_layers):
+        mem = np.where(ins >= l)[0]
+        members.append(mem)
+        rank = np.full((n_pad,), -1, np.int32)
+        rank[mem] = np.arange(len(mem), dtype=np.int32)
+        rank_maps.append(jnp.asarray(rank))
+        # +1: the heuristic admits m+1 (quirk parity)
+        deg = (2 * m if l == 0 else m) + 1
+        degs.append(deg)
+        rows = round_up(max(len(mem), 1), 8)
+        adjs.append(jnp.full((rows, deg + slack), -1, jnp.int32))
+        dists.append(jnp.full((rows, deg + slack), np.inf, jnp.float32))
+
+    # wave schedule: 1, then 8, 64, 512, ... up to wave_cap — coarse
+    # growth keeps the number of distinct jit shapes (compiles) small
+    order = np.arange(n)
+    waves: List[np.ndarray] = []
+    pos = 1
+    size = 8
+    waves.append(order[:1])
+    while pos < n:
+        take = min(size, wave_cap, n - pos)
+        waves.append(order[pos : pos + take])
+        pos += take
+        size *= 8
+
+    # bucket wave sizes to limit jit recompiles
+    step_fns = {}
+    entry = 0
+
+    for wave in waves[1:]:
+        wsz = len(wave)
+        bucket = 1 << (wsz - 1).bit_length()
+        bucket = min(bucket, round_up(wave_cap, 8))
+        if bucket not in step_fns:
+            step_fns[bucket] = make_wave_step(
+                num_layers, m, ef_construction, degs, slack
+            )
+        ids = np.full((bucket,), -1, np.int64)
+        ids[:wsz] = wave
+        ins_w = np.full((bucket,), -1, np.int64)
+        ins_w[:wsz] = ins[wave]
+        adjs, dists = step_fns[bucket](
+            vecs, rank_maps, adjs, dists,
+            jnp.asarray(ids, jnp.int32), jnp.asarray(ins_w, jnp.int32),
+            jnp.asarray(entry, jnp.int32),
+        )
+
+    # pull back to host adjacency dicts
+    out_layers = []
+    for l in range(num_layers):
+        adj_h = np.asarray(adjs[l])
+        dist_h = np.asarray(dists[l])
+        layer = {}
+        for rank_pos, gid in enumerate(members[l]):
+            row = adj_h[rank_pos]
+            dr = dist_h[rank_pos]
+            nbrs = [
+                (int(row[j]), float(dr[j]))
+                for j in range(row.shape[0])
+                if row[j] >= 0 and np.isfinite(dr[j])
+            ]
+            layer[int(gid)] = nbrs
+        out_layers.append(layer)
+    return ins, out_layers
