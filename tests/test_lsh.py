@@ -78,3 +78,22 @@ def test_roundtrip(tmp_path, built):
     res_orig = idx.search_batch(x[:8], 5)
     res_re = re.search_batch(x[:8], 5)
     np.testing.assert_array_equal(res_orig.ids, res_re.ids)
+
+
+def test_add_overflow_triggers_rebuild():
+    rng = np.random.default_rng(33)
+    x = rng.normal(size=(30, 8)).astype(np.float32)
+    idx = ANNIndex.build_index(2, 4, x, np.arange(30))
+    # overflow several leaves
+    for i in range(12):
+        idx.add(rng.normal(size=8).astype(np.float32), 100 + i)
+    assert idx._dirty_trees  # at least one leaf overflowed
+    res = idx.search_batch(x[:4], 5)  # triggers lazy rebuild
+    assert not idx._dirty_trees
+    for tree in idx._trees:
+        assert tree.leaf_of_vec.shape[0] == 42
+        sizes = [len(m) for m in tree.members]
+        # rebuilt trees respect the leaf bound again (bounded depth may
+        # leave rare oversized leaves; none expected at this scale)
+        assert max(sizes) <= 4 + 1
+    assert res.ids.shape == (4, 5)

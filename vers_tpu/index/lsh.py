@@ -19,9 +19,11 @@ Documented deviations from the reference:
 - tree depth is bounded (`ops/rpforest.depth_bound`); pathologically
   unbalanced nodes freeze into oversized leaves instead of recursing
   forever,
-- ``add`` appends the new vector to its main-path leaf without the
-  overflow split-rebuild (`lsh.rs:240-248`); leaves may exceed
-  max_node_size by the number of adds (recall-neutral),
+- ``add`` appends the new vector to its main-path leaf; when a leaf
+  overflows max_node_size the affected TREE is lazily rebuilt on the
+  next search (the reference splits just the overflowing leaf,
+  `lsh.rs:240-248` — whole-tree rebuild is the batched equivalent and
+  re-randomizes that tree's hyperplanes),
 - ``add`` stores the new vector's *internal* index in tree leaves; the
   reference stores the external id (`lsh.rs:255-262`), which is only
   correct when no duplicates were removed — observable behavior is
@@ -99,6 +101,7 @@ class ANNIndex(Index):
         self._values = np.asarray(values, dtype=np.float32)
         self._ids = np.asarray(ids, dtype=np.int64)
         self.dim = self._values.shape[1]
+        self._dirty_trees: set = set()
 
     # -- build ---------------------------------------------------------
 
@@ -149,12 +152,37 @@ class ANNIndex(Index):
         internal = self._values.shape[0]
         self._values = np.concatenate([self._values, emb], axis=0)
         self._ids = np.append(self._ids, np.int64(vec_id))
-        for tree in self._trees:
+        for t, tree in enumerate(self._trees):
             b = int(self._descend_host(tree, emb[0]))
             leaf = np.append(tree.leaf_of_vec, np.int32(b))
             tree.leaf_of_vec = leaf
             tree.members[b].append(internal)
+            if len(tree.members[b]) > self.max_node_size:
+                # overflow-split equivalent (`lsh.rs:240-248`): lazy
+                # whole-tree rebuild at next search
+                self._dirty_trees.add(t)
             tree.invalidate()
+
+    def _rebuild_dirty(self) -> None:
+        if not self._dirty_trees:
+            return
+        from vers_tpu.ops import rpforest as rpf
+
+        n, d = self._values.shape
+        n_pad = round_up(max(n, 1), 128)
+        data = jnp.asarray(np.pad(self._values, ((0, n_pad - n), (0, 0))))
+        max_depth = rpf.depth_bound(n, self.max_node_size)
+        key = jax.random.PRNGKey(self.config.seed + 1)
+        for t in sorted(self._dirty_trees):
+            tables = rpf.build_tree(
+                jax.random.fold_in(key, 1000 + t), data, n,
+                self.max_node_size, max_depth,
+            )
+            self._trees[t] = _Tree(
+                tables.coeff, tables.const, tables.split, tables.bucket,
+                np.asarray(tables.leaf_of_vec)[:n], int(tables.num_buckets),
+            )
+        self._dirty_trees.clear()
 
     def _descend_host(self, tree: _Tree, q: np.ndarray) -> int:
         v = 0
@@ -173,6 +201,7 @@ class ANNIndex(Index):
         return 0
 
     def search_batch(self, queries, top_k: int) -> SearchResult:
+        self._rebuild_dirty()
         queries = np.asarray(queries, dtype=np.float32)
         if queries.ndim == 1:
             queries = queries[None]
@@ -224,6 +253,7 @@ class ANNIndex(Index):
         return k
 
     def search_approximate(self, query, top_k: int) -> List[Tuple[int, float]]:
+        self._rebuild_dirty()
         q = np.asarray(query, dtype=np.float32).reshape(-1)
         cand: set = set()
         for tree in self._trees:
@@ -252,6 +282,7 @@ class ANNIndex(Index):
             w.vec_u64(np.asarray(members, dtype=np.uint64))
 
     def save_index(self, file_path: str) -> None:
+        self._rebuild_dirty()
         import sys
 
         old_limit = sys.getrecursionlimit()

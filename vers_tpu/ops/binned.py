@@ -3,11 +3,10 @@ cluster probe and the RP-forest's leaf probe.
 
 The corpus is stored **bin-major** (rows sorted so each bin — k-means
 cluster or RP-tree leaf — is one contiguous row range). Queries are
-binned, and a `lax.scan` over bins runs one dense
-(query-block × bin-block) distance matmul + top-k per bin: no corpus
-gathers, pure MXU work. Per-query block writes overlap, but bins are
-processed in ascending query-offset order, so each sorted query row is
-last written by the bin that owns it.
+binned and sorted, consecutive whole bins are packed into fixed
+(q_blk, r_blk) tiles, and a `lax.scan` over these packed groups runs
+one dense distance matmul + top-k per tile with a bin-equality mask:
+no corpus gathers, pure MXU work, and no mean-vs-max skew padding.
 
 This replaces the reference's pointer-y walks (`ivfflat.rs:166-195`
 cluster scan, `lsh.rs:163-216` tree descent + DashSet merge) with
@@ -55,101 +54,6 @@ def make_layout(values: np.ndarray, bin_ids: np.ndarray, num_bins: int) -> Dict:
         max_bin=int(sizes.max()) if n else 1,
         num_bins=num_bins,
     )
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("top_k", "q_blk", "r_blk", "metric", "use_approx"),
-)
-def scan_one_probe(
-    queries,         # (Q, d)
-    bins,            # (Q,) int32 bin id per query
-    corpus_sorted,   # (n_pad, d)
-    sorted_to_orig,  # (n_pad,) int32
-    start,           # (k,) int32
-    size,            # (k,) int32
-    top_k: int,
-    q_blk: int,
-    r_blk: int,
-    metric: str = "sq_euclidean",
-    use_approx: bool = False,
-):
-    """Dense per-bin scan for one probe rank. Returns (dists (Q, top_k),
-    orig_rows (Q, top_k) int32)."""
-    q_n, d = queries.shape
-    k = start.shape[0]
-    n_pad = corpus_sorted.shape[0]
-
-    order = jnp.argsort(bins, stable=True)
-    bins_sorted = bins[order]
-    q_sorted = queries[order]
-    qcount = jnp.zeros((k,), jnp.int32).at[bins_sorted].add(1)
-    qstart = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(qcount)[:-1].astype(jnp.int32)]
-    )
-    q_pad = jnp.pad(q_sorted, ((0, q_blk), (0, 0)))
-    res_d = jnp.full((q_n + q_blk, top_k), jnp.inf, jnp.float32)
-    res_i = jnp.full((q_n + q_blk, top_k), -1, jnp.int32)
-
-    def per_bin(carry, c):
-        res_d, res_i = carry
-        qs = qstart[c]
-        rs = start[c]
-        rc = size[c]
-        qb = jax.lax.dynamic_slice(q_pad, (qs, 0), (q_blk, d))
-        base = jnp.minimum(rs, n_pad - r_blk)
-        rb = jax.lax.dynamic_slice(corpus_sorted, (base, 0), (r_blk, d))
-        dist = pairwise_distance(qb, rb, metric)
-        local = jax.lax.broadcasted_iota(jnp.int32, (1, r_blk), 1)
-        valid = (base + local >= rs) & (base + local < rs + rc)
-        dist = jnp.where(valid, dist, jnp.inf)
-        if use_approx:
-            # TPU PartialReduce top-k: ~5-10x cheaper than lax.top_k
-            # inside the per-bin loop; the cross-probe merge re-ranks
-            # exactly anyway
-            bd, bi = jax.lax.approx_min_k(
-                dist, min(top_k, r_blk), recall_target=0.99
-            )
-        else:
-            bd, bi = topk_smallest(dist, min(top_k, r_blk))
-        if bd.shape[1] < top_k:
-            padn = top_k - bd.shape[1]
-            bd = jnp.pad(bd, ((0, 0), (0, padn)), constant_values=jnp.inf)
-            bi = jnp.pad(bi, ((0, 0), (0, padn)), constant_values=0)
-        rows = jnp.where(jnp.isfinite(bd), base + bi, -1)
-        res_d = jax.lax.dynamic_update_slice(res_d, bd, (qs, 0))
-        res_i = jax.lax.dynamic_update_slice(res_i, rows, (qs, 0))
-        return (res_d, res_i), None
-
-    (res_d, res_i), _ = jax.lax.scan(
-        per_bin, (res_d, res_i), jnp.arange(k, dtype=jnp.int32)
-    )
-    inv = jnp.argsort(order, stable=True)
-    pos = res_i[:q_n][inv]
-    dists = res_d[:q_n][inv]
-    orig = jnp.where(pos >= 0, sorted_to_orig[jnp.clip(pos, 0, None)], -1)
-    return dists, orig
-
-
-@functools.partial(jax.jit, static_argnames=("top_k",))
-def merge_probe_results(all_d, all_i, top_k: int):
-    """Merge (Q, P*top_k) candidates from P probes: drop duplicate ids
-    (a row can surface from several probes/trees), then final top-k.
-    Returns (dists (Q, top_k), ids (Q, top_k))."""
-    q_n = all_d.shape[0]
-    pos_sorted = jnp.sort(all_i, axis=1)
-    dup_sorted = jnp.concatenate(
-        [jnp.zeros((q_n, 1), bool),
-         (pos_sorted[:, 1:] == pos_sorted[:, :-1]) & (pos_sorted[:, 1:] >= 0)],
-        axis=1,
-    )
-    rank = jnp.argsort(jnp.argsort(all_i, axis=1, stable=True), axis=1, stable=True)
-    dup = jnp.take_along_axis(dup_sorted, rank, axis=1)
-    all_d = jnp.where(dup, jnp.inf, all_d)
-    fin_d, sel = topk_smallest(all_d, top_k)
-    fin_i = jnp.take_along_axis(all_i, sel, axis=1)
-    fin_i = jnp.where(jnp.isfinite(fin_d), fin_i, -1)
-    return fin_d, fin_i
 
 
 @functools.partial(
@@ -253,6 +157,27 @@ def pack_groups(
         gr.append(int(r_start))
         qs += q_used
     return np.asarray(gq, np.int32), np.asarray(gr, np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("top_k",))
+def merge_probe_results(all_d, all_i, top_k: int):
+    """Merge (Q, P*top_k) candidates from P probes: drop duplicate ids
+    (a row can surface from several probes/trees), then final top-k.
+    Returns (dists (Q, top_k), ids (Q, top_k))."""
+    q_n = all_d.shape[0]
+    pos_sorted = jnp.sort(all_i, axis=1)
+    dup_sorted = jnp.concatenate(
+        [jnp.zeros((q_n, 1), bool),
+         (pos_sorted[:, 1:] == pos_sorted[:, :-1]) & (pos_sorted[:, 1:] >= 0)],
+        axis=1,
+    )
+    rank = jnp.argsort(jnp.argsort(all_i, axis=1, stable=True), axis=1, stable=True)
+    dup = jnp.take_along_axis(dup_sorted, rank, axis=1)
+    all_d = jnp.where(dup, jnp.inf, all_d)
+    fin_d, sel = topk_smallest(all_d, top_k)
+    fin_i = jnp.take_along_axis(all_i, sel, axis=1)
+    fin_i = jnp.where(jnp.isfinite(fin_d), fin_i, -1)
+    return fin_d, fin_i
 
 
 def binned_topk(
