@@ -151,6 +151,7 @@ def config_sift_ivfflat(n):
 def config_glove_sharded(n):
     import jax
     from vers_tpu.parallel.sharded_index import ShardedFlatIndex
+    from vers_tpu.parallel.ivf import ShardedIVFFlatIndex
     from vers_tpu.utils.harness import recall_at_k
     from vers_tpu.utils.profiling import timed_device
 
@@ -170,9 +171,25 @@ def config_glove_sharded(n):
     re = ShardedFlatIndex.load_index(tmp)
     res2 = re.search_batch(queries[:64], 10)
     roundtrip_ok = bool((res2.ids == idx.search_batch(queries[:64], 10).ids).all())
-    emit(config="glove-sharded", n=n, d=d,
+    emit(config="glove-sharded-flat", n=n, d=d,
          n_devices=len(jax.devices()), recall_at_10=round(rec, 4),
          qps=round(len(queries) / t_q, 1), sharded_roundtrip=roundtrip_ok)
+
+    # sharded IVF: psum k-means build + per-shard packed scan +
+    # all_gather merge
+    t0 = time.perf_counter()
+    sivf = ShardedIVFFlatIndex.build_index(256, 1, 10, vectors)
+    build_s = time.perf_counter() - t0
+    for nprobe in (1, 4):
+        res = sivf.search_batch(queries, 10, nprobe=nprobe)
+        rec = recall_at_k(res.ids, truth)
+        t_q, _ = timed_device(
+            lambda np_=nprobe: sivf.search_batch(queries, 10, nprobe=np_),
+            warmup=0, iters=3,
+        )
+        emit(config="glove-sharded-ivf", n=n, d=d, nprobe=nprobe,
+             n_devices=len(jax.devices()), build_s=round(build_s, 2),
+             recall_at_10=round(rec, 4), qps=round(len(queries) / t_q, 1))
 
 
 def main():

@@ -1,6 +1,8 @@
 from vers_tpu.parallel.mesh import make_mesh, shard_rows
 from vers_tpu.parallel.search import sharded_topk
 from vers_tpu.parallel.kmeans import sharded_lloyd_step, sharded_build_kmeans
+from vers_tpu.parallel.sharded_index import ShardedFlatIndex
+from vers_tpu.parallel.ivf import ShardedIVFFlatIndex
 
 __all__ = [
     "make_mesh",
@@ -8,4 +10,6 @@ __all__ = [
     "sharded_topk",
     "sharded_lloyd_step",
     "sharded_build_kmeans",
+    "ShardedFlatIndex",
+    "ShardedIVFFlatIndex",
 ]
