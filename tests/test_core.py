@@ -66,3 +66,23 @@ def test_vector_store_append_and_grow():
     rows = vs.rows()
     assert rows.shape == (vs.count, 4)
     np.testing.assert_allclose(rows[3], 0.0)
+
+
+def test_deterministic_builds():
+    """Pinned seeds -> bitwise-identical IVF centroids and identical
+    LSH leaf assignments across two builds (the reproducibility story
+    replacing the reference's unseeded thread_rng, PARITY.md D1)."""
+    from vers_tpu.index.ivfflat import IVFFlatIndex
+    from vers_tpu.index.lsh import ANNIndex
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(300, 8)).astype(np.float32)
+    a = IVFFlatIndex.build_index(4, 2, 5, x)
+    b = IVFFlatIndex.build_index(4, 2, 5, x)
+    assert (to_hashkey(a._centroids) == to_hashkey(b._centroids)).all()
+    np.testing.assert_array_equal(a._assignments, b._assignments)
+
+    ta = ANNIndex.build_index(2, 16, x, np.arange(300))
+    tb = ANNIndex.build_index(2, 16, x, np.arange(300))
+    for t1, t2 in zip(ta._trees, tb._trees):
+        np.testing.assert_array_equal(t1.leaf_of_vec, t2.leaf_of_vec)

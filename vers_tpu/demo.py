@@ -39,6 +39,10 @@ from vers_tpu.utils.logging import get_logger, index_stats
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--index", choices=["flat", "ivfflat", "lsh", "hnsw"], default="hnsw")
+    p.add_argument(
+        "--batched-build", action="store_true",
+        help="HNSW: wave-parallel TPU construction instead of the sequential host build",
+    )
     p.add_argument("--path", default=None, help=".vec file (synthetic corpus if absent)")
     p.add_argument("--dim", type=int, default=300)
     p.add_argument("--max-rows", type=int, default=None)
@@ -82,7 +86,12 @@ def main(argv=None):
             args.num_trees, args.max_node_size, vectors, np.arange(len(vectors))
         )
     else:
-        index = HNSWIndex.build_index(
+        build = (
+            HNSWIndex.build_index_batched
+            if args.batched_build
+            else HNSWIndex.build_index
+        )
+        index = build(
             args.num_layers,
             args.ef_construction,
             args.ef_search,

@@ -124,15 +124,19 @@ def synthetic_words_dataset(
 
 def synthetic_gaussian(
     n: int, d: int, n_clusters: int = 32, n_queries: int = 256,
-    seed: int = 0, normalized: bool = False,
+    seed: int = 0, normalized: bool = False, query_noise: float = 0.1,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Clustered benchmark corpus + queries drawn near corpus points."""
+    """Clustered benchmark corpus + queries drawn near corpus points
+    (``query_noise`` controls difficulty: higher -> true neighbours
+    spread over more clusters)."""
     rng = np.random.default_rng(seed)
     centers = rng.normal(size=(n_clusters, d)).astype(np.float32) * 2.0
     assign = rng.integers(0, n_clusters, size=n)
     data = centers[assign] + rng.normal(size=(n, d)).astype(np.float32)
     qidx = rng.integers(0, n, size=n_queries)
-    queries = data[qidx] + 0.1 * rng.normal(size=(n_queries, d)).astype(np.float32)
+    queries = data[qidx] + query_noise * rng.normal(size=(n_queries, d)).astype(
+        np.float32
+    )
     data = data.astype(np.float32)
     queries = queries.astype(np.float32)
     if normalized:
