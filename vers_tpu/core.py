@@ -27,6 +27,22 @@ def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def as_query_matrix(queries) -> jnp.ndarray:
+    """Normalize query input to a (Q, d) f32 device array WITHOUT a
+    host round-trip when it's already a jax array (a host->device
+    upload per search call dominates latency on remote-tunneled TPUs;
+    callers can pre-place queries once)."""
+    if isinstance(queries, jax.Array):
+        q = queries
+        if q.dtype != jnp.float32:
+            q = q.astype(jnp.float32)
+    else:
+        q = jnp.asarray(np.asarray(queries, dtype=np.float32))
+    if q.ndim == 1:
+        q = q[None, :]
+    return q
+
+
 def pad_rows(x: jnp.ndarray, multiple: int = LANE, value: float = 0.0):
     """Pad axis 0 of ``x`` to a multiple of ``multiple``. Returns
     (padded, original_n)."""

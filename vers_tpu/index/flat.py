@@ -16,7 +16,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from vers_tpu.config import FlatConfig
-from vers_tpu.core import VectorStore
+from vers_tpu.core import VectorStore, as_query_matrix
 from vers_tpu.index.base import Index
 from vers_tpu.io.bincode import Reader, Writer
 from vers_tpu.models.candidates import SearchResult
@@ -52,7 +52,7 @@ class FlatIndex(Index):
         self._ids = np.append(self._ids, np.int64(vec_id))
 
     def search_batch(self, queries, top_k: int) -> SearchResult:
-        queries = jnp.asarray(np.asarray(queries, dtype=np.float32))
+        queries = as_query_matrix(queries)
         n = self._store.count
         k_eff = max(1, min(top_k, self._store.capacity))
         dists, rows = distance_topk(

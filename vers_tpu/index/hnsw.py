@@ -30,7 +30,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from vers_tpu.config import HNSWConfig
-from vers_tpu.core import round_up
+from vers_tpu.core import as_query_matrix, round_up
 from vers_tpu.index.base import Index
 from vers_tpu.io.bincode import Reader, Writer
 from vers_tpu.models.candidates import AdjacencyItem, DistanceCandidatePair, SearchResult
@@ -398,10 +398,8 @@ class HNSWIndex(Index):
         return self._device_cache
 
     def search_batch(self, queries, top_k: int) -> SearchResult:
-        queries = np.asarray(queries, dtype=np.float32)
-        if queries.ndim == 1:
-            queries = queries[None]
-        q_n = queries.shape[0]
+        qdev_in = as_query_matrix(queries)
+        q_n = qdev_in.shape[0]
         cache = self._ensure_device_cache()
         if cache["entry"] is None or len(self.layers) < 2:
             # quirk parity: no entrypoint / single layer -> no results
@@ -409,7 +407,7 @@ class HNSWIndex(Index):
                 ids=np.full((q_n, top_k), -1, np.int64),
                 distances=np.full((q_n, top_k), np.inf, np.float32),
             )
-        qdev = jnp.asarray(queries)
+        qdev = qdev_in
         ef = max(self.ef_search, top_k)
         n_nodes = len(cache["node_ids"])
         max_steps = max(4 * ef, 64)

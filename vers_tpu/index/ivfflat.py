@@ -29,12 +29,12 @@ import jax
 import jax.numpy as jnp
 
 from vers_tpu.config import IVFFlatConfig
-from vers_tpu.core import round_up
+from vers_tpu.core import as_query_matrix, round_up
 from vers_tpu.index.base import Index
 from vers_tpu.io.bincode import Reader, Writer
 from vers_tpu.models.candidates import SearchResult
 from vers_tpu.ops import kmeans as kmeans_ops
-from vers_tpu.ops.binned import binned_topk, make_layout
+from vers_tpu.ops.binned import binned_topk_shared, make_layout
 from vers_tpu.ops.distance import pairwise_sq_euclidean
 from vers_tpu.ops.topk import topk_smallest
 
@@ -128,18 +128,11 @@ class IVFFlatIndex(Index):
         self, queries, top_k: int, nprobe: Optional[int] = None
     ) -> SearchResult:
         layout = self._ensure_layout()
-        queries = np.asarray(queries, dtype=np.float32)
-        if queries.ndim == 1:
-            queries = queries[None]
+        qdev = as_query_matrix(queries)
         nprobe = nprobe if nprobe is not None else (self.config.nprobe or 1)
         nprobe = max(1, min(nprobe, self.num_centroids))
-        qdev = jnp.asarray(queries)
-        probes = np.asarray(_probe_clusters(qdev, self._centroids_dev, nprobe))
-        dists, rows = binned_topk(
-            qdev,
-            [probes[:, r] for r in range(nprobe)],
-            [layout] * nprobe,
-            top_k=top_k,
+        dists, rows = binned_topk_shared(
+            qdev, self._centroids_dev, nprobe, layout, top_k=top_k
         )
         return SearchResult(
             ids=np.asarray(rows, dtype=np.int64), distances=np.asarray(dists)

@@ -32,14 +32,14 @@ Documented deviations from the reference:
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from vers_tpu.config import LSHConfig
-from vers_tpu.core import deduplicate, round_up
+from vers_tpu.core import as_query_matrix, deduplicate, round_up
 from vers_tpu.index.base import Index
 from vers_tpu.io.bincode import Reader, Writer
 from vers_tpu.models.candidates import SearchResult
@@ -202,10 +202,7 @@ class ANNIndex(Index):
 
     def search_batch(self, queries, top_k: int) -> SearchResult:
         self._rebuild_dirty()
-        queries = np.asarray(queries, dtype=np.float32)
-        if queries.ndim == 1:
-            queries = queries[None]
-        qdev = jnp.asarray(queries)
+        qdev = as_query_matrix(queries)
         probe_bins = []
         layouts = []
         for tree in self._trees:

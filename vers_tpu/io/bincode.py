@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import io
 import struct
-from typing import BinaryIO, List, Tuple
+from typing import BinaryIO
 
 import numpy as np
 

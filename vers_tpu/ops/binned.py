@@ -16,7 +16,7 @@ rectangles.
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 import jax
@@ -178,6 +178,138 @@ def merge_probe_results(all_d, all_i, top_k: int):
     fin_i = jnp.take_along_axis(all_i, sel, axis=1)
     fin_i = jnp.where(jnp.isfinite(fin_d), fin_i, -1)
     return fin_d, fin_i
+
+
+@functools.partial(jax.jit, static_argnames=("num_bins", "nprobe", "metric"))
+def probe_sort_counts(
+    queries, centroids, num_bins: int, nprobe: int,
+    metric: str = "sq_euclidean",
+):
+    """One dispatch: probe the bins (nearest centroids) AND bin-sort
+    the queries per probe rank. Returns (q_stack (P*Q, d),
+    qbin_stack (P*Q,), orders (P, Q), counts (P, num_bins))."""
+    q_n, d = queries.shape
+    cdist = pairwise_distance(queries, centroids, metric)
+    _, probes = topk_smallest(cdist, nprobe)
+
+    def one(r):
+        bins = probes[:, r].astype(jnp.int32)
+        order = jnp.argsort(bins, stable=True)
+        q_sorted = jnp.take(queries, order, axis=0)
+        qbin = bins[order]
+        counts = jnp.zeros((num_bins,), jnp.int32).at[bins].add(1)
+        return q_sorted, qbin, order, counts
+
+    outs = [one(r) for r in range(nprobe)]
+    q_stack = jnp.concatenate([o[0] for o in outs], axis=0)
+    qbin_stack = jnp.concatenate([o[1] for o in outs], axis=0)
+    orders = jnp.stack([o[2] for o in outs], axis=0)
+    counts = jnp.stack([o[3] for o in outs], axis=0)
+    return q_stack, qbin_stack, orders, counts
+
+
+@functools.partial(jax.jit, static_argnames=("top_k", "q_n"))
+def unsort_map_merge(res_d, res_i, orders, sorted_to_orig, top_k: int, q_n: int):
+    """(P*Q rows of packed-scan output) -> per-probe unsort, map to
+    original rows, dedup, final top-k. Single device program."""
+    p = orders.shape[0]
+    out_d, out_i = [], []
+    for r in range(p):
+        seg_d = jax.lax.dynamic_slice_in_dim(res_d, r * q_n, q_n, 0)
+        seg_i = jax.lax.dynamic_slice_in_dim(res_i, r * q_n, q_n, 0)
+        inv = jnp.argsort(orders[r], stable=True)
+        pos = seg_i[inv]
+        d = seg_d[inv]
+        out_i.append(
+            jnp.where(pos >= 0, sorted_to_orig[jnp.clip(pos, 0, None)], -1)
+        )
+        out_d.append(d)
+    all_d = jnp.concatenate(out_d, axis=1)
+    all_i = jnp.concatenate(out_i, axis=1)
+    return merge_probe_results(all_d, all_i, top_k)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("top_k", "q_blk", "r_blk", "metric", "use_approx", "q_n"),
+)
+def scan_packed_merge(
+    q_stack, qbin_stack, gq, gr, corpus_sorted, rbin, orders,
+    sorted_to_orig, top_k: int, q_blk: int, r_blk: int, metric: str,
+    use_approx: bool, q_n: int,
+):
+    """Second (and last) dispatch of a shared-layout search: packed scan
+    over all probes' groups + per-probe unsort + id map + final merge."""
+    res_d, res_i = scan_packed(
+        q_stack, qbin_stack, gq, gr, corpus_sorted, rbin,
+        top_k=top_k, q_blk=q_blk, r_blk=r_blk, metric=metric,
+        use_approx=use_approx,
+    )
+    return unsort_map_merge(res_d, res_i, orders, sorted_to_orig, top_k, q_n)
+
+
+def binned_topk_shared(
+    queries: jnp.ndarray,
+    centroids: jnp.ndarray,
+    nprobe: int,
+    layout: Dict,
+    top_k: int,
+    metric: str = "sq_euclidean",
+):
+    """Binned search when all probe ranks share ONE layout (IVFFlat).
+
+    Tunnel-friendly: exactly TWO device dispatches per batch —
+    (1) probe + per-probe bin-sort + counts (counts, P*k int32, are the
+    only bulk download, driving host-side group packing), then
+    (2) packed scan + unsort + merge.
+    """
+    q_n = queries.shape[0]
+    p = nprobe
+    k = layout["num_bins"]
+    sizes = layout["sizes_host"]
+    starts = layout["starts_host"]
+    n_pad = layout["corpus_sorted"].shape[0]
+    use_approx = jax.default_backend() == "tpu"
+
+    q_stack, qbin_stack, orders, counts_dev = probe_sort_counts(
+        queries, centroids, k, nprobe, metric
+    )
+    counts = np.asarray(counts_dev)  # (P, k) — the only bulk download
+
+    r_blk = min(round_up(max(layout["max_bin"], top_k, 1024), 128), n_pad)
+    qmax = max(int(counts.max()), 1)
+    n_used = max(int(sizes[counts.sum(0) > 0].sum()), 1)
+    g_est = max(n_used // r_blk, 1)
+    q_blk = min(
+        round_up(max(qmax, (q_n // g_est) * 2, 64), 64), round_up(q_n, 8)
+    )
+    gq_all, gr_all = [], []
+    for r in range(p):
+        gq, gr = pack_groups(counts[r], sizes, starts, q_blk, r_blk)
+        gq_all.append(gq + r * q_n)  # offsets into the stacked queries
+        gr_all.append(gr)
+    gq = np.concatenate(gq_all)
+    gr = np.concatenate(gr_all)
+    g_pad = round_up(max(len(gq), 1), 16)
+    gq = np.pad(gq, (0, g_pad - len(gq)), constant_values=p * q_n)
+    gr = np.pad(gr, (0, g_pad - len(gr)))
+
+    return scan_packed_merge(
+        q_stack,
+        qbin_stack,
+        jnp.asarray(gq),
+        jnp.asarray(gr),
+        layout["corpus_sorted"],
+        layout["rbin"],
+        orders,
+        layout["sorted_to_orig"],
+        top_k=top_k,
+        q_blk=q_blk,
+        r_blk=r_blk,
+        metric=metric,
+        use_approx=use_approx,
+        q_n=q_n,
+    )
 
 
 def binned_topk(

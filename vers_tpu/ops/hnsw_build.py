@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import List, Tuple
+from typing import List
 
 import numpy as np
 import jax

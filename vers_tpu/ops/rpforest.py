@@ -34,7 +34,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from vers_tpu.ops.distance import pairwise_dot  # noqa: F401  (used by callers)
 
 
 class ForestTables(NamedTuple):

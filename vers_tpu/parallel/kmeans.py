@@ -7,7 +7,6 @@ pool on one host).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

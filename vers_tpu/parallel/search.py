@@ -9,7 +9,6 @@ one host's RAM.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
