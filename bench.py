@@ -75,6 +75,20 @@ def main():
     )
     log(f"flat exact: {Q / t_flat:.0f} qps ({t_flat*1e3:.1f} ms / {Q} queries)")
 
+    # approx flat (TPU PartialReduce scan): often the best operating
+    # point at recall ~0.99
+    from vers_tpu.ops.topk import approx_scan_topk
+
+    fa = lambda: approx_scan_topk(
+        qdev, corpus, n, TOP_K, chunk_size=min(131072, n_pad)
+    )
+    _, ai = fa()
+    approx_rec = recall_at_k(np.asarray(ai), truth)
+    t_approx, _ = timed_device(fa, warmup=0, iters=3)
+    log(
+        f"flat approx: {Q / t_approx:.0f} qps recall@10={approx_rec:.4f}"
+    )
+
     # IVFFlat build (jitted Lloyd, 2 restarts, 10 iters)
     t0 = time.perf_counter()
     index = IVFFlatIndex.build_index(K_CLUSTERS, 2, 10, vectors)
@@ -104,12 +118,15 @@ def main():
         if rec >= TARGET_RECALL or time.perf_counter() - t_start > budget_s:
             break
     nprobe, rec, qps = best
-    if rec < TARGET_RECALL:
-        # exact scan always meets the bar
-        log("falling back to exact scan operating point")
-        qps = Q / t_flat
-        rec = 1.0
-        nprobe = -1
+    # pick the best operating point that meets the recall bar across
+    # the three engines (IVF sweep / approx flat scan / exact flat)
+    operating = [("ivfflat", nprobe, rec, qps)]
+    if approx_rec >= TARGET_RECALL:
+        operating.append(("flat-approx", 0, approx_rec, Q / t_approx))
+    operating.append(("flat-exact", 0, 1.0, Q / t_flat))
+    ok = [o for o in operating if o[2] >= TARGET_RECALL]
+    engine, nprobe, rec, qps = max(ok, key=lambda o: o[3])
+    log(f"operating point: {engine} nprobe={nprobe} recall={rec:.4f}")
 
     # CPU reference proxy: per-query adaptive IVF walk (single-threaded
     # numpy, mirroring ivfflat.rs:153-198)
@@ -138,9 +155,10 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"IVFFlat batched QPS @ recall@10>={TARGET_RECALL} "
-                f"(n={n}, d={DIM}, k={K_CLUSTERS}, nprobe={nprobe}, "
-                f"recall={rec:.4f}, build_s={build_s:.2f})",
+                "metric": f"batched QPS @ recall@10>={TARGET_RECALL} "
+                f"(engine={engine}, n={n}, d={DIM}, k={K_CLUSTERS}, "
+                f"nprobe={nprobe}, recall={rec:.4f}, "
+                f"ivf_build_s={build_s:.2f})",
                 "value": round(qps, 1),
                 "unit": "qps",
                 "vs_baseline": round(ratio, 2),
