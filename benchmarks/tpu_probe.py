@@ -191,3 +191,56 @@ def sift_1m():
 
 if os.environ.get("PROBE_1M"):
     sift_1m()
+
+
+def ann_100k():
+    """LSH forest + batched-HNSW at 100k x 300 (wiki-style)."""
+    import jax.numpy as jnp
+    from vers_tpu.index.lsh import ANNIndex
+    from vers_tpu.index.hnsw import HNSWIndex
+    from vers_tpu.utils.data import synthetic_gaussian
+    from vers_tpu.utils.harness import recall_at_k
+
+    vectors, queries = synthetic_gaussian(
+        N, D, n_clusters=1024, n_queries=Q, seed=0, normalized=True,
+        query_noise=0.5,
+    )
+    qdev = jnp.asarray(queries)
+    truth = np.load(os.path.join(CACHE, "truth.npy"))
+
+    if not done("lsh_build"):
+        t0 = time.time()
+        lsh = ANNIndex.build_index(8, 100, vectors, np.arange(N))
+        emit(phase="lsh_build", seconds=round(time.time() - t0, 2),
+             trees=8, max_node=100)
+        for ppt in (1, 2, 4):
+            r = lsh.search_batch(qdev, K, probes_per_tree=ppt)
+            rec = recall_at_k(r.ids, truth)
+            t0 = time.time()
+            for _ in range(3):
+                r = lsh.search_batch(qdev, K, probes_per_tree=ppt)
+            dt = (time.time() - t0) / 3
+            emit(phase=f"lsh_search_p{ppt}", ms=round(dt * 1e3, 1),
+                 qps=round(Q / dt), recall=round(float(rec), 4))
+
+    if not done("hnsw_batched_build"):
+        n_h = 100_000
+        t0 = time.time()
+        h = HNSWIndex.build_index_batched(8, 100, 32, 16, vectors[:n_h],
+                                          wave_cap=2048)
+        emit(phase="hnsw_batched_build", seconds=round(time.time() - t0, 2),
+             n=n_h, layers=h.get_num_nodes_in_layers())
+        q1 = qdev[:4096]
+        r = h.search_batch(q1, K)
+        rec = recall_at_k(r.ids, truth[:4096])
+        t0 = time.time()
+        for _ in range(3):
+            r = h.search_batch(q1, K)
+        dt = (time.time() - t0) / 3
+        emit(phase="hnsw_batched_search", ms=round(dt * 1e3, 1),
+             qps=round(4096 / dt), recall=round(float(rec), 4),
+             ef_search=32)
+
+
+if os.environ.get("PROBE_ANN"):
+    ann_100k()

@@ -132,7 +132,8 @@ class IVFFlatIndex(Index):
         nprobe = nprobe if nprobe is not None else (self.config.nprobe or 1)
         nprobe = max(1, min(nprobe, self.num_centroids))
         dists, rows = binned_topk_shared(
-            qdev, self._centroids_dev, nprobe, layout, top_k=top_k
+            qdev, self._centroids_dev, nprobe, layout, top_k=top_k,
+            precision=self.config.precision,
         )
         return SearchResult(
             ids=np.asarray(rows, dtype=np.int64), distances=np.asarray(dists)

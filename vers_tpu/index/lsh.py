@@ -44,7 +44,7 @@ from vers_tpu.index.base import Index
 from vers_tpu.io.bincode import Reader, Writer
 from vers_tpu.models.candidates import SearchResult
 from vers_tpu.ops import rpforest
-from vers_tpu.ops.binned import binned_topk, make_layout
+from vers_tpu.ops.binned import binned_topk_shared, make_layout
 
 
 class _Tree:
@@ -102,6 +102,66 @@ class ANNIndex(Index):
         self._ids = np.asarray(ids, dtype=np.int64)
         self.dim = self._values.shape[1]
         self._dirty_trees: set = set()
+        self._combined = None  # stacked-forest device state
+
+    def _ensure_combined(self):
+        """Combined device state: all trees' leaf partitions stacked
+        into ONE bin-major layout (bins = (tree, leaf) pairs), plus
+        stacked level tables for the one-dispatch forest descent."""
+        if self._combined is not None:
+            return self._combined
+        n = self._values.shape[0]
+        layouts = [make_layout(self._values, t.leaf_of_vec, max(t.num_buckets, 1))
+                   for t in self._trees]
+        corpus = np.concatenate([np.asarray(l["corpus_sorted"]) for l in layouts])
+        s2o = np.concatenate([np.asarray(l["sorted_to_orig"]) for l in layouts])
+        rbins, sizes, starts = [], [], []
+        offsets = []
+        bin_off = 0
+        row_off = 0
+        for t, l in zip(self._trees, layouts):
+            rb = np.asarray(l["rbin"]).copy()
+            rb[rb >= 0] += bin_off
+            rbins.append(rb)
+            sizes.append(l["sizes_host"])
+            starts.append(l["starts_host"] + row_off)
+            offsets.append(bin_off)
+            bin_off += max(t.num_buckets, 1)
+            row_off += np.asarray(l["corpus_sorted"]).shape[0]
+        combined_layout = dict(
+            corpus_sorted=jnp.asarray(corpus),
+            sorted_to_orig=jnp.asarray(s2o),
+            rbin=jnp.asarray(np.concatenate(rbins)),
+            sizes_host=np.concatenate(sizes).astype(np.int64),
+            starts_host=np.concatenate(starts).astype(np.int64),
+            max_bin=max(l["max_bin"] for l in layouts),
+            num_bins=bin_off,
+        )
+        # stacked level tables (pad to common shapes)
+        L = max(t.coeff.shape[0] for t in self._trees)
+        TC = max(t.coeff.shape[1] for t in self._trees)
+        SC = max(t.split.shape[1] for t in self._trees)
+        T = len(self._trees)
+        coeffs = np.zeros((T, L, TC, self.dim), np.float32)
+        consts = np.zeros((T, L, TC), np.float32)
+        splits = np.full((T, L, SC), -1, np.int32)
+        buckets = np.full((T, L, SC), -1, np.int32)
+        for i, t in enumerate(self._trees):
+            l, tc, _ = t.coeff.shape
+            sc = t.split.shape[1]
+            coeffs[i, :l, :tc] = t.coeff
+            consts[i, :l, :tc] = t.const
+            splits[i, :l, :sc] = t.split
+            buckets[i, :l, :sc] = t.bucket
+        self._combined = dict(
+            layout=combined_layout,
+            coeffs=jnp.asarray(coeffs),
+            consts=jnp.asarray(consts),
+            splits=jnp.asarray(splits),
+            buckets=jnp.asarray(buckets),
+            offsets=jnp.asarray(np.asarray(offsets, np.int32)),
+        )
+        return self._combined
 
     # -- build ---------------------------------------------------------
 
@@ -162,6 +222,7 @@ class ANNIndex(Index):
                 # whole-tree rebuild at next search
                 self._dirty_trees.add(t)
             tree.invalidate()
+        self._combined = None
 
     def _rebuild_dirty(self) -> None:
         if not self._dirty_trees:
@@ -183,6 +244,7 @@ class ANNIndex(Index):
                 np.asarray(tables.leaf_of_vec)[:n], int(tables.num_buckets),
             )
         self._dirty_trees.clear()
+        self._combined = None
 
     def _descend_host(self, tree: _Tree, q: np.ndarray) -> int:
         v = 0
@@ -200,17 +262,23 @@ class ANNIndex(Index):
             v = 2 * int(s) + side
         return 0
 
-    def search_batch(self, queries, top_k: int) -> SearchResult:
+    def search_batch(
+        self, queries, top_k: int, probes_per_tree: int = 1
+    ) -> SearchResult:
+        """Three dispatches: (1) multiprobe descent through the whole
+        forest, (2) bin-sort + counts, (3) packed scan + merge.
+        ``probes_per_tree`` > 1 adds min-margin sibling probes per tree
+        (the batched analogue of the reference's backup-branch rule)."""
         self._rebuild_dirty()
         qdev = as_query_matrix(queries)
-        probe_bins = []
-        layouts = []
-        for tree in self._trees:
-            coeff, const, split, bucket = tree.device_tables()
-            probe_bins.append(rpforest.descend(qdev, coeff, const, split, bucket))
-            layouts.append(tree.layout(self._values))
-        dists, internal = binned_topk(
-            qdev, probe_bins, layouts, top_k=top_k, metric="sq_euclidean"
+        comb = self._ensure_combined()
+        probes = rpforest.descend_forest(
+            qdev, comb["coeffs"], comb["consts"], comb["splits"],
+            comb["buckets"], comb["offsets"], n_probes=max(1, probes_per_tree),
+        )
+        dists, internal = binned_topk_shared(
+            qdev, None, probes.shape[1], comb["layout"], top_k=top_k,
+            metric="sq_euclidean", probes=probes,
         )
         internal = np.asarray(internal)
         dists = np.asarray(dists)

@@ -26,6 +26,12 @@ from vers_tpu.core import round_up
 from vers_tpu.ops.distance import pairwise_distance
 from vers_tpu.ops.topk import topk_smallest
 
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
 
 def make_layout(values: np.ndarray, bin_ids: np.ndarray, num_bins: int) -> Dict:
     """Build a bin-major device layout from (n, d) values and their (n,)
@@ -58,7 +64,7 @@ def make_layout(values: np.ndarray, bin_ids: np.ndarray, num_bins: int) -> Dict:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("top_k", "q_blk", "r_blk", "metric", "use_approx"),
+    static_argnames=("top_k", "q_blk", "r_blk", "metric", "use_approx", "precision"),
 )
 def scan_packed(
     q_sorted,        # (Q_pad, d) queries sorted by bin (tail padding)
@@ -72,6 +78,7 @@ def scan_packed(
     r_blk: int,
     metric: str = "sq_euclidean",
     use_approx: bool = False,
+    precision: str = "highest",
 ):
     """Packed dense per-group scan: each scan step covers a contiguous
     run of WHOLE bins (clusters/leaves) packed to fill a fixed
@@ -102,7 +109,7 @@ def scan_packed(
         base = jnp.minimum(rs, n_pad - r_blk)
         rb = jax.lax.dynamic_slice(corpus_sorted, (base, 0), (r_blk, d))
         rbins = jax.lax.dynamic_slice(rbin, (base,), (r_blk,))
-        dist = pairwise_distance(qb, rb, metric)
+        dist = pairwise_distance(qb, rb, metric, precision=_PRECISIONS[precision])
         mask = (qbins[:, None] == rbins[None, :]) & (qbins[:, None] >= 0)
         dist = jnp.where(mask, dist, jnp.inf)
         if use_approx:
@@ -180,17 +187,11 @@ def merge_probe_results(all_d, all_i, top_k: int):
     return fin_d, fin_i
 
 
-@functools.partial(jax.jit, static_argnames=("num_bins", "nprobe", "metric"))
-def probe_sort_counts(
-    queries, centroids, num_bins: int, nprobe: int,
-    metric: str = "sq_euclidean",
-):
-    """One dispatch: probe the bins (nearest centroids) AND bin-sort
-    the queries per probe rank. Returns (q_stack (P*Q, d),
-    qbin_stack (P*Q,), orders (P, Q), counts (P, num_bins))."""
-    q_n, d = queries.shape
-    cdist = pairwise_distance(queries, centroids, metric)
-    _, probes = topk_smallest(cdist, nprobe)
+def _sort_counts(queries, probes, num_bins: int):
+    """Per-probe bin-sort of the query batch (device). probes (Q, P).
+    Returns (q_stack (P*Q, d), qbin_stack (P*Q,), orders (P, Q),
+    counts (P, num_bins))."""
+    p = probes.shape[1]
 
     def one(r):
         bins = probes[:, r].astype(jnp.int32)
@@ -200,12 +201,30 @@ def probe_sort_counts(
         counts = jnp.zeros((num_bins,), jnp.int32).at[bins].add(1)
         return q_sorted, qbin, order, counts
 
-    outs = [one(r) for r in range(nprobe)]
+    outs = [one(r) for r in range(p)]
     q_stack = jnp.concatenate([o[0] for o in outs], axis=0)
     qbin_stack = jnp.concatenate([o[1] for o in outs], axis=0)
     orders = jnp.stack([o[2] for o in outs], axis=0)
     counts = jnp.stack([o[3] for o in outs], axis=0)
     return q_stack, qbin_stack, orders, counts
+
+
+@functools.partial(jax.jit, static_argnames=("num_bins", "nprobe", "metric"))
+def probe_sort_counts(
+    queries, centroids, num_bins: int, nprobe: int,
+    metric: str = "sq_euclidean",
+):
+    """One dispatch: probe the bins (nearest centroids) AND bin-sort
+    the queries per probe rank."""
+    cdist = pairwise_distance(queries, centroids, metric)
+    _, probes = topk_smallest(cdist, nprobe)
+    return _sort_counts(queries, probes, num_bins)
+
+
+@functools.partial(jax.jit, static_argnames=("num_bins",))
+def sort_counts_given_probes(queries, probes, num_bins: int):
+    """One dispatch for externally-probed bins (RP-forest leaves)."""
+    return _sort_counts(queries, probes, num_bins)
 
 
 @functools.partial(jax.jit, static_argnames=("top_k", "q_n"))
@@ -231,54 +250,71 @@ def unsort_map_merge(res_d, res_i, orders, sorted_to_orig, top_k: int, q_n: int)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("top_k", "q_blk", "r_blk", "metric", "use_approx", "q_n"),
+    static_argnames=(
+        "top_k", "q_blk", "r_blk", "metric", "use_approx", "q_n", "precision"
+    ),
 )
 def scan_packed_merge(
     q_stack, qbin_stack, gq, gr, corpus_sorted, rbin, orders,
     sorted_to_orig, top_k: int, q_blk: int, r_blk: int, metric: str,
-    use_approx: bool, q_n: int,
+    use_approx: bool, q_n: int, precision: str = "highest",
 ):
     """Second (and last) dispatch of a shared-layout search: packed scan
     over all probes' groups + per-probe unsort + id map + final merge."""
     res_d, res_i = scan_packed(
         q_stack, qbin_stack, gq, gr, corpus_sorted, rbin,
         top_k=top_k, q_blk=q_blk, r_blk=r_blk, metric=metric,
-        use_approx=use_approx,
+        use_approx=use_approx, precision=precision,
     )
     return unsort_map_merge(res_d, res_i, orders, sorted_to_orig, top_k, q_n)
 
 
 def binned_topk_shared(
     queries: jnp.ndarray,
-    centroids: jnp.ndarray,
+    centroids,
     nprobe: int,
     layout: Dict,
     top_k: int,
     metric: str = "sq_euclidean",
+    precision: str = "highest",
+    probes=None,
 ):
-    """Binned search when all probe ranks share ONE layout (IVFFlat).
+    """Binned search when all probe ranks share ONE layout (IVFFlat
+    clusters, or an RP-forest's stacked per-tree leaf partitions).
 
     Tunnel-friendly: exactly TWO device dispatches per batch —
     (1) probe + per-probe bin-sort + counts (counts, P*k int32, are the
     only bulk download, driving host-side group packing), then
     (2) packed scan + unsort + merge.
+
+    Either ``centroids`` (nearest-centroid probing) or precomputed
+    ``probes`` (Q, P) device bin ids must be given.
     """
     q_n = queries.shape[0]
-    p = nprobe
     k = layout["num_bins"]
     sizes = layout["sizes_host"]
     starts = layout["starts_host"]
     n_pad = layout["corpus_sorted"].shape[0]
     use_approx = jax.default_backend() == "tpu"
 
-    q_stack, qbin_stack, orders, counts_dev = probe_sort_counts(
-        queries, centroids, k, nprobe, metric
-    )
+    if probes is not None:
+        p = probes.shape[1]
+        q_stack, qbin_stack, orders, counts_dev = sort_counts_given_probes(
+            queries, probes, k
+        )
+    else:
+        p = nprobe
+        q_stack, qbin_stack, orders, counts_dev = probe_sort_counts(
+            queries, centroids, k, nprobe, metric
+        )
     counts = np.asarray(counts_dev)  # (P, k) — the only bulk download
 
-    r_blk = min(round_up(max(layout["max_bin"], top_k, 1024), 128), n_pad)
+    # tile sizing: target ~32 groups per probe rank (per-step scan
+    # overhead dominates below that), bounded by the largest bin
     qmax = max(int(counts.max()), 1)
     n_used = max(int(sizes[counts.sum(0) > 0].sum()), 1)
+    r_target = max(layout["max_bin"], top_k, min(8192, max(1024, n_used // 32)))
+    r_blk = min(round_up(r_target, 128), n_pad)
     g_est = max(n_used // r_blk, 1)
     q_blk = min(
         round_up(max(qmax, (q_n // g_est) * 2, 64), 64), round_up(q_n, 8)
@@ -309,6 +345,7 @@ def binned_topk_shared(
         metric=metric,
         use_approx=use_approx,
         q_n=q_n,
+        precision=precision,
     )
 
 

@@ -224,3 +224,70 @@ def descend(queries: jnp.ndarray, coeff, const, split, bucket):
     )
     (_, out), _ = jax.lax.scan(level, init, (coeff, const, split, bucket))
     return out
+
+
+def _descend_once(queries, coeff, const, split, bucket, flip_level):
+    """Route queries to leaves, flipping the decision at ``flip_level``
+    (per query; -1 = no flip). Returns (buckets (Q,), margins (Q, L) =
+    |proj| at each traversed split, +inf elsewhere)."""
+    q_n = queries.shape[0]
+    L, t_cap, d = coeff.shape
+    s_cap = split.shape[1]
+
+    def level(carry, inp):
+        v, out = carry
+        l, coeff_l, const_l, split_l, bucket_l = inp
+        alive = v >= 0
+        vc = jnp.clip(v, 0, s_cap - 1)
+        my_split = jnp.where(alive, split_l[vc], -1)
+        my_bucket = jnp.where(alive, bucket_l[vc], -1)
+        c = jnp.take(coeff_l, jnp.clip(my_split, 0, t_cap - 1), axis=0)
+        proj = jnp.sum(queries * c, axis=1) + jnp.take(
+            const_l, jnp.clip(my_split, 0, t_cap - 1)
+        )
+        side = (proj >= 0.0).astype(jnp.int32)
+        side = jnp.where(flip_level == l, 1 - side, side)
+        margin = jnp.where(alive & (my_split >= 0), jnp.abs(proj), jnp.inf)
+        out = jnp.where(alive & (my_bucket >= 0), my_bucket, out)
+        v = jnp.where(alive & (my_split >= 0), 2 * my_split + side, -1)
+        return (v, out), margin
+
+    init = (jnp.zeros((q_n,), jnp.int32), jnp.full((q_n,), -1, jnp.int32))
+    (_, out), margins = jax.lax.scan(
+        level,
+        init,
+        (jnp.arange(L, dtype=jnp.int32), coeff, const, split, bucket),
+    )
+    return out, margins.T  # (Q,), (Q, L)
+
+
+@functools.partial(jax.jit, static_argnames=("n_probes",))
+def descend_forest(queries, coeffs, consts, splits, buckets, offsets,
+                   n_probes: int):
+    """One dispatch: multiprobe descent through EVERY tree.
+
+    Tree tables stacked on a leading axis (T, L, ...); ``offsets`` (T,)
+    shift each tree's bucket ids into the combined-layout bin space.
+    Probe 0 is the main leaf; probe j flips the split decision with the
+    j-th smallest |projection| margin (classic multiprobe — recovers
+    the recall the reference's backup-branch rule provides,
+    `lsh.rs:203-214`, in batched form). Returns (Q, T*n_probes) bins.
+    """
+    T = coeffs.shape[0]
+    q_n = queries.shape[0]
+    outs = []
+    for t in range(T):
+        main, margins = _descend_once(
+            queries, coeffs[t], consts[t], splits[t], buckets[t],
+            jnp.full((q_n,), -1, jnp.int32),
+        )
+        outs.append(main + offsets[t])
+        if n_probes > 1:
+            order = jnp.argsort(margins, axis=1)  # ascending margin
+            for j in range(1, n_probes):
+                fl = order[:, j - 1].astype(jnp.int32)
+                bj, _ = _descend_once(
+                    queries, coeffs[t], consts[t], splits[t], buckets[t], fl
+                )
+                outs.append(jnp.where(bj >= 0, bj + offsets[t], outs[-1]))
+    return jnp.stack(outs, axis=1)
