@@ -61,29 +61,6 @@ class _Tree:
         for i, b in enumerate(self.leaf_of_vec):
             if b >= 0:
                 self.members[int(b)].append(i)
-        self._dev = None
-        self._layout = None
-
-    def device_tables(self):
-        if self._dev is None:
-            self._dev = (
-                jnp.asarray(self.coeff),
-                jnp.asarray(self.const),
-                jnp.asarray(self.split),
-                jnp.asarray(self.bucket),
-            )
-        return self._dev
-
-    def layout(self, values: np.ndarray):
-        if self._layout is None:
-            self._layout = make_layout(
-                values, self.leaf_of_vec, max(self.num_buckets, 1)
-            )
-        return self._layout
-
-    def invalidate(self):
-        self._dev = None
-        self._layout = None
 
 
 class ANNIndex(Index):
@@ -221,7 +198,6 @@ class ANNIndex(Index):
                 # overflow-split equivalent (`lsh.rs:240-248`): lazy
                 # whole-tree rebuild at next search
                 self._dirty_trees.add(t)
-            tree.invalidate()
         self._combined = None
 
     def _rebuild_dirty(self) -> None:
