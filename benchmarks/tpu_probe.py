@@ -251,3 +251,70 @@ def ann_100k():
 
 if os.environ.get("PROBE_ANN"):
     ann_100k()
+
+
+def wiki_1m():
+    """The reference's headline shape: 1M x 300 (wiki-news-300d-1M)."""
+    import jax.numpy as jnp
+    from vers_tpu.core import round_up
+    from vers_tpu.index.ivfflat import IVFFlatIndex
+    from vers_tpu.ops.pallas_topk import pallas_distance_topk
+    from vers_tpu.ops.topk import approx_scan_topk
+    from vers_tpu.utils.data import synthetic_gaussian
+    from vers_tpu.utils.harness import recall_at_k
+
+    N2, D2, Q2, K2 = 1_000_000, 300, 16384, 10
+    vectors, queries = synthetic_gaussian(
+        N2, D2, n_clusters=8192, n_queries=Q2, seed=9, normalized=True,
+        query_noise=0.5,
+    )
+    n_pad = round_up(N2, 128)
+    corpus = jnp.asarray(np.pad(vectors, ((0, n_pad - N2), (0, 0))))
+    qdev = jnp.asarray(queries)
+
+    tp = os.path.join(CACHE, "truth_wiki1m.npy")
+    if os.path.exists(tp):
+        truth = np.load(tp)
+    else:
+        t0 = time.time()
+        _, ti = pallas_distance_topk(qdev, corpus, N2, K2)
+        truth = np.asarray(ti)
+        np.save(tp, truth)
+        emit(phase="truth_wiki1m", seconds=round(time.time() - t0, 2))
+
+    if not done("wiki1m_flat_approx"):
+        f = lambda: approx_scan_topk(qdev, corpus, N2, K2, chunk_size=125056)
+        d0, i0 = f()
+        rec = recall_at_k(np.asarray(i0), truth)
+        t0 = time.time()
+        for _ in range(3):
+            _ = np.asarray(f()[0])
+        dt = (time.time() - t0) / 3
+        emit(phase="wiki1m_flat_approx", ms=round(dt * 1e3, 1),
+             qps=round(Q2 / dt), recall=round(float(rec), 4))
+
+    idx_path = os.path.join(CACHE, "wiki1m_ivf.index")
+    if os.path.exists(idx_path):
+        idx = IVFFlatIndex.load_index(idx_path, dim=D2)
+    else:
+        t0 = time.time()
+        idx = IVFFlatIndex.build_index(2048, 1, 10, vectors)
+        emit(phase="wiki1m_ivf_build", seconds=round(time.time() - t0, 2), k=2048)
+        idx.save_index(idx_path)
+    idx._ensure_layout()
+    for nprobe in (1, 2, 4):
+        phase = f"wiki1m_ivf_nprobe{nprobe}"
+        if done(phase):
+            continue
+        r = idx.search_batch(qdev, K2, nprobe=nprobe)
+        rec = recall_at_k(r.ids, truth)
+        t0 = time.time()
+        for _ in range(3):
+            r = idx.search_batch(qdev, K2, nprobe=nprobe)
+        dt = (time.time() - t0) / 3
+        emit(phase=phase, ms=round(dt * 1e3, 1), qps=round(Q2 / dt),
+             recall=round(float(rec), 4))
+
+
+if os.environ.get("PROBE_WIKI1M"):
+    wiki_1m()

@@ -30,7 +30,9 @@ from vers_tpu.ops.topk import topk_smallest
 _BIG = jnp.inf
 
 
-@functools.partial(jax.jit, static_argnames=("ef", "max_steps"))
+@functools.partial(
+    jax.jit, static_argnames=("ef", "max_steps", "expand_per_step")
+)
 def beam_search_layer(
     queries,      # (Q, d) f32
     vecs,         # (n_pad, d) node vectors (compact ids)
@@ -38,11 +40,18 @@ def beam_search_layer(
     entry,        # (Q,) int32 compact entry node per query
     ef: int,
     max_steps: int,
+    expand_per_step: int = 4,
 ):
     """Returns (beam_d (Q, ef) ascending, beam_i (Q, ef) int32; -1/inf
-    padding). Emulates one HNSWLayer::search with ef candidates."""
+    padding). Emulates one HNSWLayer::search with ef candidates.
+
+    ``expand_per_step``: how many best unexpanded beam entries expand
+    per iteration. 1 = classic sequential best-first; 4 = same frontier
+    explored in ~4x fewer (wider) steps — recall-neutral in practice,
+    large wall-clock win for the batched query path."""
     q_n, d = queries.shape
     n_pad, deg = adj.shape
+    e = max(1, min(expand_per_step, ef))
 
     def dist_to(ids):
         # ids (Q, m) -> (Q, m) cosine distances; -1 -> +inf
@@ -56,6 +65,7 @@ def beam_search_layer(
     beam_i = jnp.full((q_n, ef), -1, jnp.int32).at[:, 0].set(entry)
     beam_d = jnp.full((q_n, ef), _BIG).at[:, 0].set(dist_to(entry[:, None])[:, 0])
     expanded = jnp.zeros((q_n, ef), bool)
+    col = jax.lax.broadcasted_iota(jnp.int32, (q_n, ef), 1)
 
     def cond(state):
         step, _, _, _, active = state
@@ -63,32 +73,39 @@ def beam_search_layer(
 
     def body(state):
         step, beam_d, beam_i, expanded, _ = state
-        # pick best unexpanded entry per query
+        # pick the E best unexpanded entries per query
         cand_rank = jnp.where(expanded | (beam_i < 0), _BIG, beam_d)
-        pick = jnp.argmin(cand_rank, axis=1)                      # (Q,)
-        has_pick = jnp.take_along_axis(
-            cand_rank, pick[:, None], axis=1
-        )[:, 0] < _BIG
-        picked_node = jnp.take_along_axis(beam_i, pick[:, None], axis=1)[:, 0]
-        expanded = expanded.at[jnp.arange(q_n), pick].set(
-            expanded[jnp.arange(q_n), pick] | has_pick
+        pick_d, pick = topk_smallest(cand_rank, e)                 # (Q, E)
+        has_pick = pick_d < _BIG
+        picked = jnp.where(
+            has_pick, jnp.take_along_axis(beam_i, pick, axis=1), -1
         )
+        onehot = jnp.any(
+            (col[:, None, :] == pick[:, :, None]) & has_pick[:, :, None],
+            axis=1,
+        )
+        expanded = expanded | onehot
 
         nbrs = jnp.take(
-            adj, jnp.clip(picked_node, 0, n_pad - 1), axis=0
-        )                                                          # (Q, deg)
-        nbrs = jnp.where(has_pick[:, None], nbrs, -1)
+            adj, jnp.clip(picked, 0, n_pad - 1), axis=0
+        )                                                          # (Q, E, deg)
+        nbrs = jnp.where(has_pick[:, :, None], nbrs, -1).reshape(q_n, e * deg)
         nd = dist_to(nbrs)
-        # visited-equivalent: drop neighbours already in beam
-        dup = jnp.any(
-            nbrs[:, :, None] == beam_i[:, None, :], axis=2
-        ) & (nbrs >= 0)
-        nd = jnp.where(dup, _BIG, nd)
+        # visited-equivalent: drop neighbours already in beam, and
+        # duplicates among this step's E expanded adjacency rows
+        dup_beam = jnp.any(nbrs[:, :, None] == beam_i[:, None, :], axis=2)
+        ncol = jax.lax.broadcasted_iota(jnp.int32, (e * deg, e * deg), 1)
+        nrow = jax.lax.broadcasted_iota(jnp.int32, (e * deg, e * deg), 0)
+        dup_self = jnp.any(
+            (nbrs[:, :, None] == nbrs[:, None, :]) & (ncol < nrow)[None],
+            axis=2,
+        )
+        nd = jnp.where((dup_beam | dup_self) & (nbrs >= 0), _BIG, nd)
 
         cat_d = jnp.concatenate([beam_d, nd], axis=1)
         cat_i = jnp.concatenate([beam_i, nbrs], axis=1)
         cat_e = jnp.concatenate(
-            [expanded, jnp.zeros((q_n, deg), bool)], axis=1
+            [expanded, jnp.zeros((q_n, e * deg), bool)], axis=1
         )
         new_d, sel = topk_smallest(cat_d, ef)
         new_i = jnp.take_along_axis(cat_i, sel, axis=1)
