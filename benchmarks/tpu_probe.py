@@ -230,13 +230,18 @@ def ann_100k():
         emit(phase=f"lsh_search_p{ppt}", ms=round(dt * 1e3, 1),
              qps=round(Q / dt), recall=round(float(rec), 4))
 
-    if not done("hnsw_batched_build"):
-        n_h = 100_000
+    n_h = 100_000
+    h_path = os.path.join(CACHE, "hnsw100k.index")
+    if os.path.exists(h_path):
+        h = HNSWIndex.load_index(h_path, dim=D)
+    else:
         t0 = time.time()
         h = HNSWIndex.build_index_batched(8, 100, 32, 16, vectors[:n_h],
                                           wave_cap=2048)
         emit(phase="hnsw_batched_build", seconds=round(time.time() - t0, 2),
              n=n_h, layers=h.get_num_nodes_in_layers())
+        h.save_index(h_path)
+    if not done("hnsw_batched_search"):
         q1 = qdev[:4096]
         r = h.search_batch(q1, K)
         rec = recall_at_k(r.ids, truth[:4096])
