@@ -73,3 +73,16 @@ def test_roundtrip(tmp_path, built):
     np.testing.assert_allclose(re._centroids, idx._centroids)
     q = x[3]
     assert re.search_approximate(q, 5) == idx.search_approximate(q, 5)
+
+
+def test_add_batch(built):
+    x, idx = built
+    rng = np.random.default_rng(9)
+    new = rng.normal(size=(7, 16)).astype(np.float32)
+    n_before = len(idx._assignments)
+    idx.add_batch(new)
+    assert len(idx._assignments) == n_before + 7
+    got = idx.search_approximate(new[3], 1)
+    assert got[0][0] == n_before + 3
+    res = idx.search_batch(new, 1, nprobe=2)
+    assert (res.ids[:, 0] == np.arange(n_before, n_before + 7)).sum() >= 6

@@ -35,6 +35,19 @@ from vers_tpu.index.hnsw import HNSWIndex
 from vers_tpu.utils.data import load_wiki_vector, load_vec_file
 from vers_tpu.utils.harness import search_exhaustive, recall_at_k
 
+
+def __getattr__(name):
+    # heavier multi-chip classes load lazily (they import shard_map)
+    if name == "ShardedFlatIndex":
+        from vers_tpu.parallel.sharded_index import ShardedFlatIndex
+
+        return ShardedFlatIndex
+    if name == "ShardedIVFFlatIndex":
+        from vers_tpu.parallel.ivf import ShardedIVFFlatIndex
+
+        return ShardedIVFFlatIndex
+    raise AttributeError(f"module 'vers_tpu' has no attribute {name!r}")
+
 # Aspirational Python API from the reference README (README.md:83-97):
 # vers.load_wiki(), vers.HNSW(...), .build_index(...), .search(...).
 HNSW = HNSWIndex

@@ -36,6 +36,14 @@ class Index(abc.ABC):
     def add(self, embedding, vec_id: int) -> None:
         """Insert one embedding under ``vec_id``."""
 
+    def add_batch(self, embeddings, vec_ids) -> None:
+        """Bulk insert (one layout rebuild instead of per-add
+        invalidation). Default: loop over ``add``; indexes override
+        where a vectorized path exists."""
+        embeddings = np.asarray(embeddings, dtype=np.float32)
+        for emb, vid in zip(embeddings, np.asarray(vec_ids)):
+            self.add(emb, int(vid))
+
     @abc.abstractmethod
     def search_batch(self, queries, top_k: int) -> SearchResult:
         """Approximate top-k for a (Q, d) batch of queries."""

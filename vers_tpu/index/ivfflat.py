@@ -124,6 +124,26 @@ class IVFFlatIndex(Index):
         self._ids[c].append(new_id)
         self._layout = None  # invalidate cluster-major layout
 
+    def add_batch(self, embeddings, vec_ids=None) -> None:
+        """Vectorized bulk insert: one assignment pass, one layout
+        rebuild. Caller vec_ids are ignored (same quirk parity as
+        ``add``: new rows get sequential ids)."""
+        embs = np.asarray(embeddings, dtype=np.float32)
+        if embs.ndim == 1:
+            embs = embs[None]
+        d2 = (
+            np.einsum("nd,nd->n", embs, embs)[:, None]
+            + np.einsum("kd,kd->k", self._centroids, self._centroids)[None, :]
+            - 2.0 * embs @ self._centroids.T
+        )
+        assign = np.argmin(d2, axis=1)
+        base = len(self._assignments)
+        self._values = np.concatenate([self._values, embs], axis=0)
+        self._assignments = np.concatenate([self._assignments, assign])
+        for i, c in enumerate(assign):
+            self._ids[int(c)].append(base + i)
+        self._layout = None
+
     def search_batch(
         self, queries, top_k: int, nprobe: Optional[int] = None
     ) -> SearchResult:
