@@ -59,8 +59,9 @@ def test_sharded_lloyd_matches_single_device(mesh, rng):
     np.add.at(ref, assign, x)
     cnt = np.bincount(assign, minlength=4)
     ref = np.where(cnt[:, None] > 0, ref / np.maximum(cnt, 1)[:, None], 0.0)
-    np.testing.assert_allclose(np.asarray(new_c), ref, rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(float(cost), d2.min(1).sum(), rtol=1e-4)
+    # Lloyd matmuls run in bf16 (see ops/kmeans.partial_sums)
+    np.testing.assert_allclose(np.asarray(new_c), ref, rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(float(cost), d2.min(1).sum(), rtol=1e-2)
 
 
 def test_sharded_build_kmeans_runs(mesh, rng):

