@@ -38,6 +38,9 @@ def main():
 
     if os.environ.get("VERS_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["VERS_PLATFORM"])
+    from vers_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
     from vers_tpu.index.ivfflat import IVFFlatIndex
     from vers_tpu.ops.pallas_topk import distance_topk

@@ -45,6 +45,8 @@ def done(phase):
 
 def main():
     import jax
+    from vers_tpu.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
     from vers_tpu.core import round_up
     from vers_tpu.index.ivfflat import IVFFlatIndex
@@ -119,6 +121,8 @@ if __name__ == "__main__":
 
 
 def sift_1m():
+    from vers_tpu.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
     """BASELINE config 4: 1M x 128 L2, IVF k=1024, nprobe sweep."""
     import jax.numpy as jnp
     from vers_tpu.core import round_up
@@ -194,6 +198,8 @@ if os.environ.get("PROBE_1M"):
 
 
 def ann_100k():
+    from vers_tpu.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
     """LSH forest + batched-HNSW at 100k x 300 (wiki-style)."""
     import jax.numpy as jnp
     from vers_tpu.index.lsh import ANNIndex
@@ -259,6 +265,8 @@ if os.environ.get("PROBE_ANN"):
 
 
 def wiki_1m():
+    from vers_tpu.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
     """The reference's headline shape: 1M x 300 (wiki-news-300d-1M)."""
     import jax.numpy as jnp
     from vers_tpu.core import round_up

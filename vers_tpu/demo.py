@@ -23,6 +23,10 @@ if os.environ.get("VERS_PLATFORM"):
 
     jax.config.update("jax_platforms", os.environ["VERS_PLATFORM"])
 
+from vers_tpu.utils.profiling import enable_compilation_cache
+
+enable_compilation_cache()
+
 from vers_tpu.index.flat import FlatIndex
 from vers_tpu.index.hnsw import HNSWIndex
 from vers_tpu.index.ivfflat import IVFFlatIndex

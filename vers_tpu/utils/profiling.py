@@ -38,6 +38,21 @@ def timed_device(fn: Callable, *args, warmup: int = 1, iters: int = 5, **kw):
     return best, result
 
 
+def enable_compilation_cache(path: str = "/tmp/vers_tpu_jax_cache") -> None:
+    """Persistent jit-compilation cache. On this hardware the index
+    builds EXECUTE in ~0.1s but their first compile takes minutes via
+    the remote compile service — the cache makes every later process
+    reuse compiled executables. Call early (before first jit)."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without these flags
+
+
 @contextlib.contextmanager
 def trace(path: str = "/tmp/vers_tpu_trace"):
     """jax.profiler trace context (view with tensorboard/xprof)."""
