@@ -20,10 +20,14 @@ download-glove: $(DATA)
 $(DATA):
 	mkdir -p $(DATA)
 
+native:
+	g++ -O3 -shared -fPIC -std=c++17 vers_tpu/native/io_native.cpp \
+	  -o vers_tpu/native/libversio.so
+
 test:
 	python -m pytest tests/ -x -q
 
 bench:
 	python bench.py
 
-.PHONY: download download-sift download-glove test bench
+.PHONY: download download-sift download-glove native test bench

@@ -467,6 +467,16 @@ class HNSWIndex(Index):
     ) -> "HNSWIndex":
         if dim is None:
             raise ValueError("HNSWIndex.load_index requires dim")
+        try:
+            from vers_tpu import native
+
+            scan = native.hnsw_scan(file_path, dim)
+        except (FileNotFoundError, EOFError):
+            raise
+        except Exception:
+            scan = None
+        if scan is not None:
+            return cls._from_native_scan(scan, dim, config)
         with open(file_path, "rb") as fp:
             r = Reader(fp)
             ef_construction = r.u64()
@@ -501,4 +511,56 @@ class HNSWIndex(Index):
         index.dim = dim
         for nid, vec in id_vec_pairs:
             index._set_vec(nid, vec)
+        return index
+
+    @classmethod
+    def _from_native_scan(
+        cls, scan: dict, dim: int, config: Optional[HNSWConfig]
+    ) -> "HNSWIndex":
+        """Assemble an index from the flat arrays of the native one-pass
+        bincode scanner (`vers_tpu.native.hnsw_scan`) — byte-level
+        semantics identical to the Python reader above."""
+        layers: List[_Layer] = []
+        node_pos = 0
+        heap_pos = 0
+        nbr_pos = 0
+        node_ids = scan["node_ids"]
+        heap_lens = scan["heap_lens"]
+        nbr_lens = scan["nbr_lens"]
+        heap_ids = scan["heap_ids"]
+        heap_dists = scan["heap_dists"]
+        nbrs = scan["nbrs"]
+        for count in scan["layer_counts"]:
+            layer = _Layer()
+            for _ in range(int(count)):
+                nid = int(node_ids[node_pos])
+                hlen = int(heap_lens[node_pos])
+                nlen = int(nbr_lens[node_pos])
+                item = AdjacencyItem()
+                for h in range(heap_pos, heap_pos + hlen):
+                    item.insert(int(heap_ids[h]), float(heap_dists[h]))
+                # neighbour set is authoritative (heap may hold dups)
+                item.neighbours = set(
+                    int(x) for x in nbrs[nbr_pos : nbr_pos + nlen]
+                )
+                layer.adjacency[nid] = item
+                node_pos += 1
+                heap_pos += hlen
+                nbr_pos += nlen
+            layers.append(layer)
+        index = cls(
+            int(scan["ef_construction"]),
+            int(scan["ef_search"]),
+            int(scan["num_layers"]),
+            int(scan["num_neighbours"]),
+            config=config,
+        )
+        index.layers = layers
+        index.layer_multiplier = float(scan["layer_multiplier"])
+        index.dim = dim
+        # bulk vector table (skips per-row _set_vec calls)
+        vecs = np.ascontiguousarray(scan["vecs"], dtype=np.float32)
+        index._vecs = vecs if vecs.size else np.zeros((16, dim), np.float32)
+        index._id_row = {int(nid): i for i, nid in enumerate(scan["vec_ids"])}
+        index._rows_used = int(scan["vec_ids"].shape[0])
         return index

@@ -36,7 +36,20 @@ def load_vec_file(
 
     ``header=True`` skips the first "count dim" line (fastText);
     GloVe files have no header.
+
+    Uses the native C++ parser (`vers_tpu.native`) when available —
+    the Python loop below is the behavioral reference and fallback.
     """
+    try:
+        from vers_tpu import native
+
+        out = native.parse_vec(path, dim, header=header, max_rows=max_rows)
+        if out is not None:
+            return out
+    except FileNotFoundError:
+        raise
+    except Exception:
+        pass  # any native hiccup -> Python fallback
     words: List[str] = []
     rows: List[np.ndarray] = []
     with open(path, "r", encoding="utf-8", errors="replace") as fp:
