@@ -1,0 +1,74 @@
+"""Single-dispatch fused binned search vs the two-dispatch reference
+path: identical results on every shape (including skewed bins, bins
+with more queries than q_blk, empty bins, and non-multiple sizes)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vers_tpu.ops import binned
+
+
+@pytest.mark.parametrize(
+    "n,d,k,q_n,nprobe,skew",
+    [
+        (5000, 32, 16, 256, 1, False),
+        (5000, 32, 16, 1000, 4, False),
+        (3000, 48, 64, 512, 2, True),
+        (997, 16, 7, 33, 3, True),
+        (512, 8, 4, 2000, 1, True),  # one bin gets >> q_blk queries
+    ],
+)
+def test_fused_matches_shared(n, d, k, q_n, nprobe, skew):
+    rng = np.random.default_rng(42)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    bins = (
+        (rng.random(n) ** 3 * k).astype(np.int64)
+        if skew
+        else rng.integers(0, k, n)
+    )
+    layout = binned.make_layout(x, bins, k)
+    cents = jnp.asarray(rng.normal(size=(k, d)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(q_n, d)).astype(np.float32))
+    d1, i1 = binned.binned_topk_shared(q, cents, nprobe, layout, top_k=10)
+    d2, i2 = binned.binned_topk_fused(q, cents, nprobe, layout, top_k=10)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(
+        np.asarray(d1), np.asarray(d2), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_fused_probes_given_matches_shared():
+    rng = np.random.default_rng(7)
+    n, d, k, q_n, p = 2000, 24, 32, 300, 3
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    bins = rng.integers(0, k, n)
+    layout = binned.make_layout(x, bins, k)
+    q = jnp.asarray(rng.normal(size=(q_n, d)).astype(np.float32))
+    probes = jnp.asarray(rng.integers(0, k, (q_n, p)).astype(np.int32))
+    d1, i1 = binned.binned_topk_shared(
+        q, None, p, layout, top_k=8, probes=probes
+    )
+    d2, i2 = binned.binned_topk_fused(
+        q, None, p, layout, top_k=8, probes=probes
+    )
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(
+        np.asarray(d1), np.asarray(d2), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_static_groups_cover_all_bins():
+    rng = np.random.default_rng(0)
+    n, k = 3000, 40
+    x = rng.normal(size=(n, 8)).astype(np.float32)
+    bins = (rng.random(n) ** 2 * k).astype(np.int64)
+    layout = binned.make_layout(x, bins, k)
+    plan = binned.fused_tile_plan(layout, 128, 10)
+    g_first = np.asarray(plan["g_first"])
+    sizes = layout["sizes_host"]
+    assert g_first[0] == 0 and g_first[-1] == k
+    assert (np.diff(g_first) >= 1).all()
+    for g in range(len(g_first) - 1):
+        span = sizes[g_first[g] : g_first[g + 1]].sum()
+        assert span <= plan["r_blk"]

@@ -44,7 +44,42 @@ from vers_tpu.index.base import Index
 from vers_tpu.io.bincode import Reader, Writer
 from vers_tpu.models.candidates import SearchResult
 from vers_tpu.ops import rpforest
-from vers_tpu.ops.binned import binned_topk_shared, make_layout
+from vers_tpu.ops.binned import (
+    fused_binned_search,
+    fused_tile_plan,
+    make_layout,
+)
+import functools
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_probes", "num_bins", "top_k", "q_blk", "r_blk", "w_rank",
+        "use_approx",
+    ),
+)
+def _forest_search(
+    queries, coeffs, consts, splits, buckets, offsets,
+    corpus_sorted, rbin, sorted_to_orig, g_first, g_rstart,
+    n_probes: int, num_bins: int, top_k: int, q_blk: int, r_blk: int,
+    w_rank: int, use_approx: bool,
+):
+    """ONE dispatch for the whole forest query: multiprobe descent
+    through every tree + packed binned scan + merge (the jitted callees
+    inline). Replaces the reference's rayon tree recursion + DashSet
+    union (`lsh.rs:264-281`) with a single compiled program."""
+    probes = rpforest.descend_forest(
+        queries, coeffs, consts, splits, buckets, offsets,
+        n_probes=n_probes,
+    )
+    return fused_binned_search(
+        queries, probes, corpus_sorted, rbin, sorted_to_orig,
+        g_first, g_rstart, num_bins=num_bins, nprobe=probes.shape[1],
+        top_k=top_k, q_blk=q_blk, r_blk=r_blk, w_rank=w_rank,
+        metric="sq_euclidean", use_approx=use_approx,
+        probes_given=True,
+    )
 
 
 class _Tree:
@@ -241,20 +276,24 @@ class ANNIndex(Index):
     def search_batch(
         self, queries, top_k: int, probes_per_tree: int = 1
     ) -> SearchResult:
-        """Three dispatches: (1) multiprobe descent through the whole
-        forest, (2) bin-sort + counts, (3) packed scan + merge.
+        """SINGLE dispatch: multiprobe descent through the whole forest
+        + packed binned scan + merge, one compiled program.
         ``probes_per_tree`` > 1 adds min-margin sibling probes per tree
         (the batched analogue of the reference's backup-branch rule)."""
         self._rebuild_dirty()
         qdev = as_query_matrix(queries)
         comb = self._ensure_combined()
-        probes = rpforest.descend_forest(
+        layout = comb["layout"]
+        plan = fused_tile_plan(layout, qdev.shape[0], top_k)
+        dists, internal = _forest_search(
             qdev, comb["coeffs"], comb["consts"], comb["splits"],
-            comb["buckets"], comb["offsets"], n_probes=max(1, probes_per_tree),
-        )
-        dists, internal = binned_topk_shared(
-            qdev, None, probes.shape[1], comb["layout"], top_k=top_k,
-            metric="sq_euclidean", probes=probes,
+            comb["buckets"], comb["offsets"],
+            layout["corpus_sorted"], layout["rbin"],
+            layout["sorted_to_orig"], plan["g_first"], plan["g_rstart"],
+            n_probes=max(1, probes_per_tree), num_bins=layout["num_bins"],
+            top_k=top_k, q_blk=plan["q_blk"], r_blk=plan["r_blk"],
+            w_rank=plan["w_rank"],
+            use_approx=jax.default_backend() == "tpu",
         )
         internal = np.asarray(internal)
         dists = np.asarray(dists)

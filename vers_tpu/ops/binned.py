@@ -349,6 +349,182 @@ def binned_topk_shared(
     )
 
 
+def static_groups(layout: Dict, r_blk: int):
+    """Pack consecutive whole bins into groups of <= r_blk corpus rows,
+    from the layout's (static) bin sizes alone. Cached per r_blk.
+    Returns (group_first_bin (G+1,), group_rstart (G,)) numpy arrays."""
+    cache = layout.setdefault("_static_groups", {})
+    if r_blk in cache:
+        return cache[r_blk]
+    sizes = layout["sizes_host"]
+    starts = layout["starts_host"]
+    k = len(sizes)
+    first, rstart = [0], []
+    used = 0
+    rstart.append(int(starts[0]) if k else 0)
+    for c in range(k):
+        if used and used + int(sizes[c]) > r_blk:
+            first.append(c)
+            rstart.append(int(starts[c]))
+            used = 0
+        used += int(sizes[c])
+    first.append(k)
+    out = (np.asarray(first, np.int32), np.asarray(rstart, np.int32))
+    cache[r_blk] = out
+    return out
+
+
+def _fused_workitems(qcounts, qcum_rank_offset, group_first_bin, group_rstart,
+                     q_blk: int, w_rank: int, q_scratch: int):
+    """Device-side packing for ONE probe rank: from this rank's per-bin
+    query counts, emit exactly ``w_rank`` (qstart, rstart) work items —
+    ceil(nq_g / q_blk) real tiles per group g, the rest parked on the
+    scratch row ``q_scratch`` (scan_packed's dummy-group convention)."""
+    qcum = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(qcounts, dtype=jnp.int32)]
+    )  # (k+1,) exclusive prefix of sorted-query positions
+    qlo = qcum[group_first_bin[:-1]]           # (G,)
+    qhi = qcum[group_first_bin[1:]]            # (G,)
+    nq = qhi - qlo
+    tiles = (nq + q_blk - 1) // q_blk          # (G,)
+    tcum = jnp.cumsum(tiles)                   # inclusive
+    total = tcum[-1] if tiles.shape[0] else jnp.int32(0)
+    w = jnp.arange(w_rank, dtype=jnp.int32)
+    g = jnp.searchsorted(tcum, w, side="right").astype(jnp.int32)
+    g_c = jnp.clip(g, 0, tiles.shape[0] - 1)
+    prev = jnp.where(g_c > 0, tcum[jnp.maximum(g_c - 1, 0)], 0)
+    valid = w < total
+    qstart = jnp.where(
+        valid, qcum_rank_offset + qlo[g_c] + (w - prev) * q_blk, q_scratch
+    )
+    rstart = jnp.where(valid, group_rstart[g_c], 0)
+    return qstart, rstart
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_bins", "nprobe", "top_k", "q_blk", "r_blk", "w_rank",
+        "metric", "use_approx", "precision", "probes_given",
+    ),
+)
+def fused_binned_search(
+    queries,           # (Q, d)
+    centroids_or_probes,  # (k, d) centroids, or (Q, P) int probes
+    corpus_sorted,     # (n_pad, d) bin-major
+    rbin,              # (n_pad,)
+    sorted_to_orig,    # (n_pad,)
+    group_first_bin,   # (G+1,) static bin->group boundaries
+    group_rstart,      # (G,)
+    num_bins: int,
+    nprobe: int,
+    top_k: int,
+    q_blk: int,
+    r_blk: int,
+    w_rank: int,
+    metric: str = "sq_euclidean",
+    use_approx: bool = False,
+    precision: str = "highest",
+    probes_given: bool = False,
+):
+    """SINGLE-dispatch binned search: probe, per-rank bin-sort, on-device
+    work-item packing (static groups by corpus layout; per-rank query
+    tiles via cumsum+searchsorted), packed scan, unsort and merge — no
+    host synchronisation at all. The two-dispatch path
+    (`binned_topk_shared`) needed a counts download + host `pack_groups`
+    between probe and scan; on this hardware that cost ~2 tunnel
+    round-trips + dispatch latency per batch."""
+    q_n = queries.shape[0]
+    if probes_given:
+        probes = centroids_or_probes
+    else:
+        cdist = pairwise_distance(queries, centroids_or_probes, metric)
+        _, probes = topk_smallest(cdist, nprobe)
+    q_stack, qbin_stack, orders, counts = _sort_counts(
+        queries, probes, num_bins
+    )
+    p = probes.shape[1]
+    gq_parts, gr_parts = [], []
+    for r in range(p):
+        gq_r, gr_r = _fused_workitems(
+            counts[r], r * q_n, group_first_bin, group_rstart,
+            q_blk, w_rank, p * q_n,
+        )
+        gq_parts.append(gq_r)
+        gr_parts.append(gr_r)
+    gq = jnp.concatenate(gq_parts)
+    gr = jnp.concatenate(gr_parts)
+    res_d, res_i = scan_packed(
+        q_stack, qbin_stack, gq, gr, corpus_sorted, rbin,
+        top_k=top_k, q_blk=q_blk, r_blk=r_blk, metric=metric,
+        use_approx=use_approx, precision=precision,
+    )
+    return unsort_map_merge(res_d, res_i, orders, sorted_to_orig, top_k, q_n)
+
+
+def fused_tile_plan(layout: Dict, q_n: int, top_k: int) -> Dict:
+    """Host-side static tile plan for the fused (single-dispatch) path:
+    depends only on the corpus layout and query count, never on probe
+    results. Returns dict(q_blk, r_blk, w_rank, g_first, g_rstart)."""
+    sizes = layout["sizes_host"]
+    n_pad = layout["corpus_sorted"].shape[0]
+    n_total = max(int(sizes.sum()), 1)
+    r_target = max(
+        layout["max_bin"], top_k, min(8192, max(1024, n_total // 32))
+    )
+    r_blk = min(round_up(r_target, 128), n_pad)
+    g_first, g_rstart = static_groups(layout, r_blk)
+    n_groups = len(g_rstart)
+    # q_blk need not cover any bin's query count (a bin's queries may
+    # span tiles); size it so full tiles dominate the partial ones
+    q_blk = min(round_up(max(64, q_n // max(n_groups, 1) * 2), 64),
+                round_up(q_n, 8))
+    w_rank = (q_n + q_blk - 1) // q_blk + n_groups
+    return dict(
+        q_blk=q_blk, r_blk=r_blk, w_rank=w_rank,
+        g_first=jnp.asarray(g_first), g_rstart=jnp.asarray(g_rstart),
+    )
+
+
+def binned_topk_fused(
+    queries: jnp.ndarray,
+    centroids,
+    nprobe: int,
+    layout: Dict,
+    top_k: int,
+    metric: str = "sq_euclidean",
+    precision: str = "highest",
+    probes=None,
+):
+    """One-dispatch counterpart of `binned_topk_shared` (same results,
+    same arguments). Tile sizes depend only on the static layout and the
+    query count, so repeated batches of one shape hit one compiled
+    executable and cost exactly one device dispatch."""
+    q_n = queries.shape[0]
+    use_approx = jax.default_backend() == "tpu"
+    p = nprobe if probes is None else int(probes.shape[1])
+    plan = fused_tile_plan(layout, q_n, top_k)
+    return fused_binned_search(
+        queries,
+        centroids if probes is None else probes,
+        layout["corpus_sorted"],
+        layout["rbin"],
+        layout["sorted_to_orig"],
+        plan["g_first"],
+        plan["g_rstart"],
+        num_bins=layout["num_bins"],
+        nprobe=p,
+        top_k=top_k,
+        q_blk=plan["q_blk"],
+        r_blk=plan["r_blk"],
+        w_rank=plan["w_rank"],
+        metric=metric,
+        use_approx=use_approx,
+        precision=precision,
+        probes_given=probes is not None,
+    )
+
+
 def binned_topk(
     queries: jnp.ndarray,
     probe_bins: Sequence[jnp.ndarray],   # per probe rank: (Q,) bin ids
