@@ -462,23 +462,33 @@ def fused_binned_search(
     return unsort_map_merge(res_d, res_i, orders, sorted_to_orig, top_k, q_n)
 
 
-def fused_tile_plan(layout: Dict, q_n: int, top_k: int) -> Dict:
+def fused_tile_plan(
+    layout: Dict, q_n: int, top_k: int,
+    q_blk: int | None = None, r_blk: int | None = None,
+) -> Dict:
     """Host-side static tile plan for the fused (single-dispatch) path:
     depends only on the corpus layout and query count, never on probe
-    results. Returns dict(q_blk, r_blk, w_rank, g_first, g_rstart)."""
+    results. ``q_blk``/``r_blk`` override the heuristics (tuning).
+    Returns dict(q_blk, r_blk, w_rank, g_first, g_rstart)."""
     sizes = layout["sizes_host"]
     n_pad = layout["corpus_sorted"].shape[0]
     n_total = max(int(sizes.sum()), 1)
-    r_target = max(
-        layout["max_bin"], top_k, min(8192, max(1024, n_total // 32))
-    )
-    r_blk = min(round_up(r_target, 128), n_pad)
+    if r_blk is None:
+        r_target = max(
+            layout["max_bin"], top_k, min(8192, max(1024, n_total // 32))
+        )
+        r_blk = min(round_up(r_target, 128), n_pad)
+    else:
+        r_blk = min(round_up(max(r_blk, layout["max_bin"], top_k), 128), n_pad)
     g_first, g_rstart = static_groups(layout, r_blk)
     n_groups = len(g_rstart)
     # q_blk need not cover any bin's query count (a bin's queries may
     # span tiles); size it so full tiles dominate the partial ones
-    q_blk = min(round_up(max(64, q_n // max(n_groups, 1) * 2), 64),
-                round_up(q_n, 8))
+    if q_blk is None:
+        q_blk = min(round_up(max(64, q_n // max(n_groups, 1) * 2), 64),
+                    round_up(q_n, 8))
+    else:
+        q_blk = min(round_up(q_blk, 64), round_up(q_n, 8))
     w_rank = (q_n + q_blk - 1) // q_blk + n_groups
     return dict(
         q_blk=q_blk, r_blk=r_blk, w_rank=w_rank,
@@ -495,6 +505,8 @@ def binned_topk_fused(
     metric: str = "sq_euclidean",
     precision: str = "highest",
     probes=None,
+    q_blk: int | None = None,
+    r_blk: int | None = None,
 ):
     """One-dispatch counterpart of `binned_topk_shared` (same results,
     same arguments). Tile sizes depend only on the static layout and the
@@ -503,7 +515,7 @@ def binned_topk_fused(
     q_n = queries.shape[0]
     use_approx = jax.default_backend() == "tpu"
     p = nprobe if probes is None else int(probes.shape[1])
-    plan = fused_tile_plan(layout, q_n, top_k)
+    plan = fused_tile_plan(layout, q_n, top_k, q_blk=q_blk, r_blk=r_blk)
     return fused_binned_search(
         queries,
         centroids if probes is None else probes,
