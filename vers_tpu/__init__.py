@@ -48,11 +48,11 @@ def __getattr__(name):
         return ShardedIVFFlatIndex
     raise AttributeError(f"module 'vers_tpu' has no attribute {name!r}")
 
-# Aspirational Python API from the reference README (README.md:83-97):
-# vers.load_wiki(), vers.HNSW(...), .build_index(...), .search(...).
-HNSW = HNSWIndex
-LSH = ANNIndex
-IVFFlat = IVFFlatIndex
+# The reference README's intended Python API (README.md:83-97):
+# vers.load_wiki(), vers.HNSW(...), .build_index(...), .search(...)
+# — implemented for real in vers_tpu.compat (the reference's PyO3
+# crate documents but does not ship this surface).
+from vers_tpu.compat import HNSW, IVFFlat, LSH, Embeddings, load_wiki
 
 __all__ = [
     "__version__",
@@ -68,6 +68,8 @@ __all__ = [
     "IVFFlatConfig",
     "LSHConfig",
     "HNSWConfig",
+    "Embeddings",
+    "load_wiki",
     "load_wiki_vector",
     "load_vec_file",
     "search_exhaustive",
