@@ -58,6 +58,29 @@ def test_fused_probes_given_matches_shared():
     )
 
 
+def test_forest_plan_per_tree_tables():
+    """LSH-style stacked layout: per-tree group tables must tile each
+    tree's bin range exactly, and ranks map tree-major."""
+    rng = np.random.default_rng(1)
+    n, d = 1200, 8
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    t0_bins = rng.integers(0, 5, n)
+    t1_bins = rng.integers(0, 7, n) + 5  # tree 1 bins offset by 5
+    bins = np.where(rng.random(n) < 0.5, t0_bins, t1_bins)
+    layout = binned.make_layout(x, bins, 12)
+    plan = binned.forest_tile_plan(
+        layout, 64, 5, np.asarray([0, 5, 12]), n_probes=2
+    )
+    g_first = np.asarray(plan["g_first"])
+    assert g_first.shape[0] == 2  # one table per tree
+    assert g_first[0, 0] == 0
+    assert g_first[1, 0] == 5
+    assert plan["rank_rows"] == (0, 0, 1, 1)
+    # each tree's table ends at its own bin bound (padding repeats it)
+    assert g_first[0].max() == 5
+    assert g_first[1].max() == 12
+
+
 def test_static_groups_cover_all_bins():
     rng = np.random.default_rng(0)
     n, k = 3000, 40
@@ -65,7 +88,7 @@ def test_static_groups_cover_all_bins():
     bins = (rng.random(n) ** 2 * k).astype(np.int64)
     layout = binned.make_layout(x, bins, k)
     plan = binned.fused_tile_plan(layout, 128, 10)
-    g_first = np.asarray(plan["g_first"])
+    g_first = np.asarray(plan["g_first"])[0]
     sizes = layout["sizes_host"]
     assert g_first[0] == 0 and g_first[-1] == k
     assert (np.diff(g_first) >= 1).all()

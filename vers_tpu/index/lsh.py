@@ -45,8 +45,8 @@ from vers_tpu.io.bincode import Reader, Writer
 from vers_tpu.models.candidates import SearchResult
 from vers_tpu.ops import rpforest
 from vers_tpu.ops.binned import (
+    forest_tile_plan,
     fused_binned_search,
-    fused_tile_plan,
     make_layout,
 )
 import functools
@@ -56,19 +56,21 @@ import functools
     jax.jit,
     static_argnames=(
         "n_probes", "num_bins", "top_k", "q_blk", "r_blk", "w_rank",
-        "use_approx",
+        "use_approx", "rank_rows",
     ),
 )
 def _forest_search(
     queries, coeffs, consts, splits, buckets, offsets,
     corpus_sorted, rbin, sorted_to_orig, g_first, g_rstart,
     n_probes: int, num_bins: int, top_k: int, q_blk: int, r_blk: int,
-    w_rank: int, use_approx: bool,
+    w_rank: int, use_approx: bool, rank_rows: tuple,
 ):
     """ONE dispatch for the whole forest query: multiprobe descent
     through every tree + packed binned scan + merge (the jitted callees
     inline). Replaces the reference's rayon tree recursion + DashSet
-    union (`lsh.rs:264-281`) with a single compiled program."""
+    union (`lsh.rs:264-281`) with a single compiled program. Group
+    tables are per tree (`rank_rows` maps each probe rank to its tree)
+    so w_rank scales with one tree's groups, not the whole forest's."""
     probes = rpforest.descend_forest(
         queries, coeffs, consts, splits, buckets, offsets,
         n_probes=n_probes,
@@ -78,7 +80,7 @@ def _forest_search(
         g_first, g_rstart, num_bins=num_bins, nprobe=probes.shape[1],
         top_k=top_k, q_blk=q_blk, r_blk=r_blk, w_rank=w_rank,
         metric="sq_euclidean", use_approx=use_approx,
-        probes_given=True,
+        probes_given=True, rank_rows=rank_rows,
     )
 
 
@@ -172,6 +174,7 @@ class ANNIndex(Index):
             splits=jnp.asarray(splits),
             buckets=jnp.asarray(buckets),
             offsets=jnp.asarray(np.asarray(offsets, np.int32)),
+            bin_bounds=np.asarray(offsets + [bin_off], np.int64),
         )
         return self._combined
 
@@ -284,16 +287,20 @@ class ANNIndex(Index):
         qdev = as_query_matrix(queries)
         comb = self._ensure_combined()
         layout = comb["layout"]
-        plan = fused_tile_plan(layout, qdev.shape[0], top_k)
+        n_probes = max(1, probes_per_tree)
+        plan = forest_tile_plan(
+            layout, qdev.shape[0], top_k, comb["bin_bounds"], n_probes
+        )
         dists, internal = _forest_search(
             qdev, comb["coeffs"], comb["consts"], comb["splits"],
             comb["buckets"], comb["offsets"],
             layout["corpus_sorted"], layout["rbin"],
             layout["sorted_to_orig"], plan["g_first"], plan["g_rstart"],
-            n_probes=max(1, probes_per_tree), num_bins=layout["num_bins"],
+            n_probes=n_probes, num_bins=layout["num_bins"],
             top_k=top_k, q_blk=plan["q_blk"], r_blk=plan["r_blk"],
             w_rank=plan["w_rank"],
             use_approx=jax.default_backend() == "tpu",
+            rank_rows=plan["rank_rows"],
         )
         internal = np.asarray(internal)
         dists = np.asarray(dists)

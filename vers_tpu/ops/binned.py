@@ -349,29 +349,49 @@ def binned_topk_shared(
     )
 
 
-def static_groups(layout: Dict, r_blk: int):
-    """Pack consecutive whole bins into groups of <= r_blk corpus rows,
-    from the layout's (static) bin sizes alone. Cached per r_blk.
-    Returns (group_first_bin (G+1,), group_rstart (G,)) numpy arrays."""
+def static_groups(layout: Dict, r_blk: int, b_lo: int = 0,
+                  b_hi: int | None = None):
+    """Pack consecutive whole bins of [b_lo, b_hi) into groups of
+    <= r_blk corpus rows, from the layout's (static) bin sizes alone.
+    Cached per (r_blk, range). Returns numpy arrays
+    (group_first_bin (G+1,), group_rstart (G,))."""
+    k_all = len(layout["sizes_host"])
+    if b_hi is None:
+        b_hi = k_all
     cache = layout.setdefault("_static_groups", {})
-    if r_blk in cache:
-        return cache[r_blk]
+    key = (r_blk, b_lo, b_hi)
+    if key in cache:
+        return cache[key]
     sizes = layout["sizes_host"]
     starts = layout["starts_host"]
-    k = len(sizes)
-    first, rstart = [0], []
+    first, rstart = [b_lo], []
     used = 0
-    rstart.append(int(starts[0]) if k else 0)
-    for c in range(k):
+    rstart.append(int(starts[b_lo]) if b_lo < k_all else 0)
+    for c in range(b_lo, b_hi):
         if used and used + int(sizes[c]) > r_blk:
             first.append(c)
             rstart.append(int(starts[c]))
             used = 0
         used += int(sizes[c])
-    first.append(k)
+    first.append(b_hi)
     out = (np.asarray(first, np.int32), np.asarray(rstart, np.int32))
-    cache[r_blk] = out
+    cache[key] = out
     return out
+
+
+def stack_group_tables(tables):
+    """Stack per-rank (group_first_bin, group_rstart) tables of varying
+    group counts into (R, Gmax+1) / (R, Gmax) arrays. Padding groups
+    repeat the last bin boundary -> zero queries -> zero tiles."""
+    gmax = max(len(r) for _, r in tables)
+    f = np.zeros((len(tables), gmax + 1), np.int32)
+    rs = np.zeros((len(tables), gmax), np.int32)
+    for i, (fi, ri) in enumerate(tables):
+        g = len(ri)
+        f[i, : g + 1] = fi
+        f[i, g + 1 :] = fi[-1]
+        rs[i, :g] = ri
+    return f, rs
 
 
 def _fused_workitems(qcounts, qcum_rank_offset, group_first_bin, group_rstart,
@@ -405,7 +425,7 @@ def _fused_workitems(qcounts, qcum_rank_offset, group_first_bin, group_rstart,
     jax.jit,
     static_argnames=(
         "num_bins", "nprobe", "top_k", "q_blk", "r_blk", "w_rank",
-        "metric", "use_approx", "precision", "probes_given",
+        "metric", "use_approx", "precision", "probes_given", "rank_rows",
     ),
 )
 def fused_binned_search(
@@ -414,8 +434,8 @@ def fused_binned_search(
     corpus_sorted,     # (n_pad, d) bin-major
     rbin,              # (n_pad,)
     sorted_to_orig,    # (n_pad,)
-    group_first_bin,   # (G+1,) static bin->group boundaries
-    group_rstart,      # (G,)
+    group_first_bin,   # (R, G+1) static bin->group boundaries per table
+    group_rstart,      # (R, G)
     num_bins: int,
     nprobe: int,
     top_k: int,
@@ -426,6 +446,7 @@ def fused_binned_search(
     use_approx: bool = False,
     precision: str = "highest",
     probes_given: bool = False,
+    rank_rows: tuple = None,
 ):
     """SINGLE-dispatch binned search: probe, per-rank bin-sort, on-device
     work-item packing (static groups by corpus layout; per-rank query
@@ -446,8 +467,9 @@ def fused_binned_search(
     p = probes.shape[1]
     gq_parts, gr_parts = [], []
     for r in range(p):
+        row = 0 if rank_rows is None else rank_rows[r]
         gq_r, gr_r = _fused_workitems(
-            counts[r], r * q_n, group_first_bin, group_rstart,
+            counts[r], r * q_n, group_first_bin[row], group_rstart[row],
             q_blk, w_rank, p * q_n,
         )
         gq_parts.append(gq_r)
@@ -492,7 +514,44 @@ def fused_tile_plan(
     w_rank = (q_n + q_blk - 1) // q_blk + n_groups
     return dict(
         q_blk=q_blk, r_blk=r_blk, w_rank=w_rank,
+        g_first=jnp.asarray(g_first[None, :]),
+        g_rstart=jnp.asarray(g_rstart[None, :]),
+    )
+
+
+def forest_tile_plan(
+    layout: Dict, q_n: int, top_k: int, tree_bin_bounds,
+    n_probes: int,
+) -> Dict:
+    """Tile plan for a stacked multi-tree layout: one group table per
+    tree (each probe rank only ever lands in one tree's bins, so sizing
+    w_rank by the per-tree group count instead of the combined one cuts
+    the dummy work items ~T-fold). ``tree_bin_bounds`` is the (T+1,)
+    bin-offset array; ranks are ordered tree-major (t*n_probes + j)."""
+    sizes = layout["sizes_host"]
+    n_pad = layout["corpus_sorted"].shape[0]
+    n_tree = max(int(sizes.sum()) // max(len(tree_bin_bounds) - 1, 1), 1)
+    r_target = max(
+        layout["max_bin"], top_k, min(8192, max(1024, n_tree // 16))
+    )
+    r_blk = min(round_up(r_target, 128), n_pad)
+    tables = [
+        static_groups(layout, r_blk, int(tree_bin_bounds[t]),
+                      int(tree_bin_bounds[t + 1]))
+        for t in range(len(tree_bin_bounds) - 1)
+    ]
+    g_first, g_rstart = stack_group_tables(tables)
+    g_max = max(len(r) for _, r in tables)
+    q_blk = min(round_up(max(64, q_n // max(g_max, 1) * 2), 64),
+                round_up(q_n, 8))
+    w_rank = (q_n + q_blk - 1) // q_blk + g_max
+    rank_rows = tuple(
+        t for t in range(len(tables)) for _ in range(n_probes)
+    )
+    return dict(
+        q_blk=q_blk, r_blk=r_blk, w_rank=w_rank,
         g_first=jnp.asarray(g_first), g_rstart=jnp.asarray(g_rstart),
+        rank_rows=rank_rows,
     )
 
 
