@@ -58,6 +58,37 @@ def test_fused_probes_given_matches_shared():
     )
 
 
+@pytest.mark.parametrize(
+    "n,d,k,q_n,nprobe,skew",
+    [
+        (3000, 32, 16, 200, 1, False),
+        (3000, 32, 16, 500, 3, True),
+        (997, 16, 7, 33, 2, True),
+    ],
+)
+def test_pallas_packed_matches_shared(n, d, k, q_n, nprobe, skew):
+    """The Pallas packed-scan kernel (interpret mode on CPU) returns
+    exactly the two-dispatch reference results."""
+    rng = np.random.default_rng(42)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    bins = (
+        (rng.random(n) ** 3 * k).astype(np.int64)
+        if skew
+        else rng.integers(0, k, n)
+    )
+    layout = binned.make_layout(x, bins, k)
+    cents = jnp.asarray(rng.normal(size=(k, d)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(q_n, d)).astype(np.float32))
+    d1, i1 = binned.binned_topk_shared(q, cents, nprobe, layout, top_k=10)
+    d2, i2 = binned.binned_topk_pallas(
+        q, cents, nprobe, layout, top_k=10, q_blk=64, r_blk=256, chunk=128
+    )
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(
+        np.asarray(d1), np.asarray(d2), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_forest_plan_per_tree_tables():
     """LSH-style stacked layout: per-tree group tables must tile each
     tree's bin range exactly, and ranks map tree-major."""

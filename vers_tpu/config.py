@@ -44,6 +44,10 @@ class IVFFlatConfig:
     # matmul-bound, so bf16 "default" saves nothing here and costs
     # ~1% recall).
     precision: str = "highest"
+    # batched-search engine: "pallas" = packed-scan kernel (exact
+    # top-k, fastest on TPU), "xla" = lax.scan path (approx_min_k on
+    # TPU), "auto" = pallas on TPU when top_k allows, else xla.
+    engine: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -34,7 +34,12 @@ from vers_tpu.index.base import Index
 from vers_tpu.io.bincode import Reader, Writer
 from vers_tpu.models.candidates import SearchResult
 from vers_tpu.ops import kmeans as kmeans_ops
-from vers_tpu.ops.binned import binned_topk_fused, make_layout
+from vers_tpu.ops.binned import (
+    binned_topk_fused,
+    binned_topk_pallas,
+    make_layout,
+)
+from vers_tpu.ops.pallas_topk import MAX_PALLAS_K
 from vers_tpu.ops.distance import pairwise_sq_euclidean
 from vers_tpu.ops.topk import topk_smallest
 
@@ -151,10 +156,22 @@ class IVFFlatIndex(Index):
         qdev = as_query_matrix(queries)
         nprobe = nprobe if nprobe is not None else (self.config.nprobe or 1)
         nprobe = max(1, min(nprobe, self.num_centroids))
-        dists, rows = binned_topk_fused(
-            qdev, self._centroids_dev, nprobe, layout, top_k=top_k,
-            precision=self.config.precision,
-        )
+        engine = self.config.engine
+        if engine == "auto":
+            engine = (
+                "pallas"
+                if jax.default_backend() == "tpu" and top_k <= MAX_PALLAS_K
+                else "xla"
+            )
+        if engine == "pallas":
+            dists, rows = binned_topk_pallas(
+                qdev, self._centroids_dev, nprobe, layout, top_k=top_k,
+            )
+        else:
+            dists, rows = binned_topk_fused(
+                qdev, self._centroids_dev, nprobe, layout, top_k=top_k,
+                precision=self.config.precision,
+            )
         return SearchResult(
             ids=np.asarray(rows, dtype=np.int64), distances=np.asarray(dists)
         )

@@ -596,6 +596,138 @@ def binned_topk_fused(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_bins", "nprobe", "top_k", "q_blk", "r_blk", "chunk",
+        "w_rank", "q_pad_rank", "metric", "probes_given", "interpret",
+    ),
+)
+def _pallas_fused_core(
+    queries, centroids_or_probes, corpus_padded, rbin_padded, xx_padded,
+    s2o_padded, g_first,
+    num_bins: int, nprobe: int, top_k: int, q_blk: int, r_blk: int,
+    chunk: int, w_rank: int, q_pad_rank: int,
+    metric: str, probes_given: bool, interpret: bool,
+):
+    """Single-dispatch binned search with the Pallas packed-scan kernel
+    (`ops/pallas_binned.py`) instead of the XLA lax.scan."""
+    from vers_tpu.ops.pallas_binned import (
+        _workitems_blocks,
+        pallas_packed_scan,
+    )
+
+    q_n, d = queries.shape
+    d_pad = corpus_padded.shape[1]
+    if probes_given:
+        probes = centroids_or_probes
+    else:
+        cdist = pairwise_distance(queries, centroids_or_probes, metric)
+        _, probes = topk_smallest(cdist, nprobe)
+    p = probes.shape[1]
+
+    q_parts, qbin_parts, orders = [], [], []
+    qb_parts, gb_parts = [], []
+    qb_scratch = p * q_pad_rank // q_blk
+    qcol_pad = jnp.zeros((q_n, d_pad - d), queries.dtype)
+    for r in range(p):
+        bins = probes[:, r].astype(jnp.int32)
+        order = jnp.argsort(bins, stable=True)
+        q_sorted = jnp.concatenate(
+            [jnp.take(queries, order, axis=0), qcol_pad], axis=1
+        )
+        qbin = bins[order]
+        counts = jnp.zeros((num_bins,), jnp.int32).at[bins].add(1)
+        q_parts.append(
+            jnp.pad(q_sorted, ((0, q_pad_rank - q_n), (0, 0)))
+        )
+        qbin_parts.append(
+            jnp.pad(qbin, (0, q_pad_rank - q_n), constant_values=-1)
+        )
+        orders.append(order)
+        qb_r, gb_r = _workitems_blocks(
+            counts, r * q_pad_rank, g_first, q_blk, w_rank, qb_scratch
+        )
+        qb_parts.append(qb_r)
+        gb_parts.append(gb_r)
+    # scratch block rows at the tail (invalid work items park there)
+    q_parts.append(jnp.zeros((q_blk, d_pad), queries.dtype))
+    qbin_parts.append(jnp.full((q_blk,), -1, jnp.int32))
+    q_stack = jnp.concatenate(q_parts, axis=0)
+    qbin_stack = jnp.concatenate(qbin_parts)[None, :]
+
+    res_d, res_i = pallas_packed_scan(
+        q_stack, qbin_stack,
+        jnp.concatenate(qb_parts), jnp.concatenate(gb_parts),
+        corpus_padded, rbin_padded, xx_padded,
+        top_k=top_k, q_blk=q_blk, chunk=chunk, r_chunks=r_blk // chunk,
+        q_pad_rank=q_pad_rank, metric=metric, interpret=interpret,
+    )
+
+    # per-rank unsort (stride q_pad_rank) + map to original rows + merge
+    out_d, out_i = [], []
+    for r in range(p):
+        seg_d = jax.lax.dynamic_slice_in_dim(res_d, r * q_pad_rank, q_n, 0)
+        seg_i = jax.lax.dynamic_slice_in_dim(res_i, r * q_pad_rank, q_n, 0)
+        inv = jnp.argsort(orders[r], stable=True)
+        pos = seg_i[inv]
+        out_d.append(seg_d[inv])
+        out_i.append(
+            jnp.where(pos >= 0, s2o_padded[jnp.clip(pos, 0, None)], -1)
+        )
+    all_d = jnp.concatenate(out_d, axis=1)
+    all_i = jnp.concatenate(out_i, axis=1)
+    return merge_probe_results(all_d, all_i, top_k)
+
+
+def binned_topk_pallas(
+    queries: jnp.ndarray,
+    centroids,
+    nprobe: int,
+    layout: Dict,
+    top_k: int,
+    metric: str = "sq_euclidean",
+    probes=None,
+    q_blk: int | None = None,
+    r_blk: int | None = None,
+    chunk: int | None = None,
+):
+    """Single-dispatch binned search on the Pallas kernel path. Same
+    results as `binned_topk_fused` / `binned_topk_shared` (exact top-k;
+    tie order may differ). Interpreted (slow) off-TPU — callers should
+    route through an engine choice."""
+    from vers_tpu.ops.pallas_binned import padded_group_layout
+
+    q_n = queries.shape[0]
+    p = nprobe if probes is None else int(probes.shape[1])
+    if chunk is None:
+        chunk = 1024
+    if r_blk is None:
+        r_blk = max(2048, round_up(layout["max_bin"], chunk))
+    r_blk = round_up(max(r_blk, layout["max_bin"], top_k), chunk)
+    padded = padded_group_layout(layout, r_blk)
+    if q_blk is None:
+        # measured (100k x 300, Q=16k): small query blocks win — less
+        # wasted area at group boundaries and cheaper VMEM merges.
+        # 128 is also the lane-dim floor for the (1, q_blk) bin block.
+        q_blk = 128
+    if jax.default_backend() == "tpu":
+        q_blk = max(round_up(q_blk, 128), 128)
+    q_pad_rank = round_up(q_n, q_blk)
+    w_rank = q_pad_rank // q_blk + padded["n_groups"] + 1
+    return _pallas_fused_core(
+        queries,
+        centroids if probes is None else probes,
+        padded["corpus"], padded["rbin"], padded["xx"], padded["s2o"],
+        padded["g_first"],
+        num_bins=layout["num_bins"], nprobe=p, top_k=top_k,
+        q_blk=q_blk, r_blk=r_blk, chunk=chunk, w_rank=w_rank,
+        q_pad_rank=q_pad_rank, metric=metric,
+        probes_given=probes is not None,
+        interpret=jax.default_backend() != "tpu",
+    )
+
+
 def binned_topk(
     queries: jnp.ndarray,
     probe_bins: Sequence[jnp.ndarray],   # per probe rank: (Q,) bin ids

@@ -1,0 +1,242 @@
+"""Pallas packed binned scan — the kernel form of `ops/binned.py`'s
+fused search.
+
+The XLA `lax.scan` packed scan pays ~1ms of per-step overhead (slice /
+mask / top-k plumbing) regardless of tile size, which dominates the
+actual MXU work ~30:1 at IVF shapes. This kernel replaces the scan with
+a Pallas grid over work items whose tile placement is driven by
+scalar-prefetched block indices:
+
+- the corpus is laid out **group-major padded**: group g (a run of
+  whole bins packed to <= r_blk rows) occupies rows
+  [g*r_blk, g*r_blk + span_g); every work item's corpus window is then
+  exactly blocks [gb[w]*r_chunks, (gb[w]+1)*r_chunks) of size `chunk`,
+- work items are (query block, group) pairs, block-ALIGNED on the query
+  axis; a group's queries may start mid-block, so a block can be
+  visited by consecutive groups — the kernel keeps a running (q_blk, k)
+  best set in VMEM scratch, initialising on the first visit of a block
+  and flushing on the last (visit runs are consecutive by
+  construction: queries are bin-sorted, groups ascend, and per-rank
+  segments are padded to block multiples so no block straddles ranks),
+- inside one work item the corpus streams through VMEM in `chunk`-row
+  sub-tiles (inner grid dim) exactly like the flat kernel
+  (`ops/pallas_topk.py`), with the same threshold-skip merge.
+
+Scoring masks by bin equality, so results match `scan_packed` exactly
+(modulo top-k tie order). Distances are f32-exact (HIGHEST matmuls).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vers_tpu.core import round_up
+from vers_tpu.ops.pallas_topk import _merge_topk
+
+DEFAULT_Q_BLK = 512
+DEFAULT_CHUNK = 1024
+
+
+def padded_group_layout(layout: Dict, r_blk: int) -> Dict:
+    """Group-major padded device arrays for a bin-major layout: group g
+    occupies rows [g*r_blk, g*r_blk + span_g) (padding rows have
+    rbin = -1). Cached on the layout per r_blk."""
+    from vers_tpu.ops.binned import static_groups
+
+    cache = layout.setdefault("_padded_groups", {})
+    if r_blk in cache:
+        return cache[r_blk]
+    g_first, g_rstart = static_groups(layout, r_blk)
+    sizes = layout["sizes_host"]
+    starts = layout["starts_host"]
+    k = len(sizes)
+    n_groups = len(g_rstart)
+    corpus = np.asarray(layout["corpus_sorted"])
+    rbin = np.asarray(layout["rbin"])
+    s2o = np.asarray(layout["sorted_to_orig"])
+    d = corpus.shape[1]
+    d_pad = round_up(d, 128)  # lane-aligned feature dim (zero columns)
+    xp = np.zeros((n_groups * r_blk, d_pad), np.float32)
+    rb = np.full((n_groups * r_blk,), -1, np.int32)
+    so = np.full((n_groups * r_blk,), -1, np.int32)
+    for g in range(n_groups):
+        lo = int(g_rstart[g])
+        hi_bin = int(g_first[g + 1])
+        hi = int(starts[hi_bin]) if hi_bin < k else int(
+            starts[-1] + sizes[-1]
+        ) if k else 0
+        span = min(hi - lo, r_blk)
+        xp[g * r_blk : g * r_blk + span, :d] = corpus[lo : lo + span]
+        rb[g * r_blk : g * r_blk + span] = rbin[lo : lo + span]
+        so[g * r_blk : g * r_blk + span] = s2o[lo : lo + span]
+    xx = np.sum(xp.astype(np.float64) ** 2, axis=1).astype(np.float32)
+    out = dict(
+        corpus=jnp.asarray(xp),
+        rbin=jnp.asarray(rb[None, :]),
+        s2o=jnp.asarray(so),
+        xx=jnp.asarray(xx[None, :]),
+        g_first=jnp.asarray(g_first),
+        n_groups=n_groups,
+        r_blk=r_blk,
+    )
+    cache[r_blk] = out
+    return out
+
+
+def _workitems_blocks(qcounts, rank_off, g_first, q_blk: int,
+                      w_rank: int, qb_scratch: int):
+    """Block-aligned work items for one probe rank: (qb, gb) int32
+    (w_rank,) arrays. Group g's tiles are the query BLOCKS overlapping
+    its sorted-query span [qlo, qhi); invalid items park on the scratch
+    block."""
+    qcum = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(qcounts, dtype=jnp.int32)]
+    )
+    qlo = qcum[g_first[:-1]] + rank_off
+    qhi = qcum[g_first[1:]] + rank_off
+    nq = qhi - qlo
+    b0 = qlo // q_blk
+    b1 = jnp.where(nq > 0, (qhi - 1) // q_blk, b0 - 1)
+    tiles = jnp.maximum(b1 - b0 + 1, 0)
+    tcum = jnp.cumsum(tiles)
+    total = tcum[-1] if tiles.shape[0] else jnp.int32(0)
+    w = jnp.arange(w_rank, dtype=jnp.int32)
+    g = jnp.searchsorted(tcum, w, side="right").astype(jnp.int32)
+    g_c = jnp.clip(g, 0, tiles.shape[0] - 1)
+    prev = jnp.where(g_c > 0, tcum[jnp.maximum(g_c - 1, 0)], 0)
+    valid = w < total
+    qb = jnp.where(valid, b0[g_c] + (w - prev), qb_scratch)
+    gb = jnp.where(valid, g_c, 0)
+    return qb, gb
+
+
+def _kernel(qb_ref, gb_ref, q_ref, qbin_ref, x_ref, rbin_ref, xx_ref,
+            out_d_ref, out_i_ref, best_d, best_i, *, k: int, chunk: int,
+            r_chunks: int, metric: str):
+    w = pl.program_id(0)
+    j = pl.program_id(1)
+    n_w = pl.num_programs(0)
+    qb_now = qb_ref[w]
+    first_visit = jnp.logical_or(
+        w == 0, qb_ref[jnp.maximum(w - 1, 0)] != qb_now
+    )
+    last_visit = jnp.logical_or(
+        w == n_w - 1, qb_ref[jnp.minimum(w + 1, n_w - 1)] != qb_now
+    )
+
+    @pl.when(jnp.logical_and(first_visit, j == 0))
+    def _init():
+        best_d[:] = jnp.full_like(best_d, jnp.inf)
+        best_i[:] = jnp.full_like(best_i, -1)
+
+    q = q_ref[:]
+    x = x_ref[:]
+    dot = jax.lax.dot_general(
+        q, x,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (q_blk, chunk)
+    if metric == "cosine":
+        dist = 1.0 - dot
+    else:
+        qq = jnp.sum(q.astype(jnp.float32) ** 2, axis=1, keepdims=True)
+        dist = jnp.maximum(qq + xx_ref[:] - 2.0 * dot, 0.0)
+
+    qbins = qbin_ref[0, :][:, None]          # (q_blk, 1)
+    rbins = rbin_ref[:]                      # (1, chunk)
+    ok = jnp.logical_and(qbins == rbins, qbins >= 0)
+    dist = jnp.where(ok, dist, jnp.inf)
+
+    rows = (gb_ref[w] * r_chunks + j) * chunk + jax.lax.broadcasted_iota(
+        jnp.int32, (1, chunk), 1
+    )
+
+    kth = jnp.max(best_d[:], axis=1, keepdims=True)
+    improves = jnp.any(dist < kth)
+
+    @pl.when(improves)
+    def _merge():
+        new_d, new_i = _merge_topk(best_d[:], best_i[:], dist, rows, k)
+        best_d[:] = new_d
+        best_i[:] = new_i
+
+    @pl.when(jnp.logical_and(last_visit, j == r_chunks - 1))
+    def _flush():
+        out_d_ref[:] = best_d[:]
+        out_i_ref[:] = jnp.where(jnp.isfinite(best_d[:]), best_i[:], -1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "top_k", "q_blk", "chunk", "r_chunks", "q_pad_rank", "metric",
+        "interpret",
+    ),
+)
+def pallas_packed_scan(
+    q_stack,       # (P * q_pad_rank + q_blk, d_pad) bin-sorted, rank-major
+    qbin_stack,    # (1, same rows) int32, -1 padding
+    qb,            # (W,) int32 query block per work item
+    gb,            # (W,) int32 group (corpus block run) per work item
+    corpus_padded,  # (G * r_blk, d_pad) group-major padded
+    rbin_padded,   # (1, G * r_blk) int32
+    xx_padded,     # (1, G * r_blk) f32 squared norms
+    top_k: int,
+    q_blk: int,
+    chunk: int,
+    r_chunks: int,
+    q_pad_rank: int,
+    metric: str = "sq_euclidean",
+    interpret: bool = False,
+):
+    """Returns (res_d, res_i) over the stacked sorted-query rows
+    (res rows = q_stack rows); positions index the PADDED corpus."""
+    n_rows, d_pad = q_stack.shape
+    w_total = qb.shape[0]
+    kernel = functools.partial(
+        _kernel, k=top_k, chunk=chunk, r_chunks=r_chunks, metric=metric
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(w_total, r_chunks),
+        in_specs=[
+            pl.BlockSpec((q_blk, d_pad), lambda w, j, qb, gb: (qb[w], 0)),
+            pl.BlockSpec((1, q_blk), lambda w, j, qb, gb: (0, qb[w])),
+            pl.BlockSpec(
+                (chunk, d_pad),
+                lambda w, j, qb, gb: (gb[w] * r_chunks + j, 0),
+            ),
+            pl.BlockSpec(
+                (1, chunk), lambda w, j, qb, gb: (0, gb[w] * r_chunks + j)
+            ),
+            pl.BlockSpec(
+                (1, chunk), lambda w, j, qb, gb: (0, gb[w] * r_chunks + j)
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((q_blk, top_k), lambda w, j, qb, gb: (qb[w], 0)),
+            pl.BlockSpec((q_blk, top_k), lambda w, j, qb, gb: (qb[w], 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((q_blk, top_k), jnp.float32),
+            pltpu.VMEM((q_blk, top_k), jnp.int32),
+        ],
+    )
+    out_d, out_i = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_rows, top_k), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, top_k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(qb, gb, q_stack, qbin_stack, corpus_padded, rbin_padded, xx_padded)
+    return out_d, out_i
