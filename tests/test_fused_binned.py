@@ -89,6 +89,27 @@ def test_pallas_packed_matches_shared(n, d, k, q_n, nprobe, skew):
     )
 
 
+def test_lsh_pallas_engine_matches_xla():
+    """Forest search on the Pallas kernel path (interpret mode) returns
+    the XLA engine's results."""
+    from vers_tpu.config import LSHConfig
+    from vers_tpu.index.lsh import ANNIndex
+
+    rng = np.random.default_rng(3)
+    n, d = 2000, 24
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    idx = ANNIndex.build_index(3, 50, x, np.arange(n))
+    q = x[:100] + 0.01 * rng.normal(size=(100, d)).astype(np.float32)
+    r_x = idx.search_batch(q, 8, probes_per_tree=2)
+    idx.config = LSHConfig(num_trees=3, max_node_size=50, engine="pallas")
+    r_p = idx.search_batch(q, 8, probes_per_tree=2)
+    np.testing.assert_array_equal(r_x.ids, r_p.ids)
+    # kernel precomputes corpus norms in f64; ~1e-5 abs drift is fine
+    np.testing.assert_allclose(
+        r_x.distances, r_p.distances, rtol=1e-4, atol=1e-4
+    )
+
+
 def test_forest_plan_per_tree_tables():
     """LSH-style stacked layout: per-tree group tables must tile each
     tree's bin range exactly, and ranks map tree-major."""

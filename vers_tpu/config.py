@@ -59,6 +59,9 @@ class LSHConfig:
     max_node_size: int = 100
     seed: int = 0
     dtype: str = "float32"
+    # batched-search engine: "pallas" = packed-scan kernel, "xla" =
+    # lax.scan path, "auto" = pallas on TPU when top_k allows.
+    engine: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

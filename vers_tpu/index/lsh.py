@@ -45,11 +45,43 @@ from vers_tpu.io.bincode import Reader, Writer
 from vers_tpu.models.candidates import SearchResult
 from vers_tpu.ops import rpforest
 from vers_tpu.ops.binned import (
+    _pallas_fused_core,
     forest_tile_plan,
     fused_binned_search,
     make_layout,
 )
+from vers_tpu.ops.pallas_topk import MAX_PALLAS_K
 import functools
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_probes", "num_bins", "top_k", "q_blk", "r_blk", "chunk",
+        "w_rank", "q_pad_rank", "rank_rows", "g_base", "interpret",
+    ),
+)
+def _forest_search_pallas(
+    queries, coeffs, consts, splits, buckets, offsets,
+    corpus_padded, rbin_padded, xx_padded, s2o_padded, g_first,
+    n_probes: int, num_bins: int, top_k: int, q_blk: int, r_blk: int,
+    chunk: int, w_rank: int, q_pad_rank: int, rank_rows: tuple,
+    g_base: tuple, interpret: bool,
+):
+    """ONE dispatch forest query on the Pallas packed-scan kernel:
+    multiprobe descent + kernel scan + merge in a single program."""
+    probes = rpforest.descend_forest(
+        queries, coeffs, consts, splits, buckets, offsets,
+        n_probes=n_probes,
+    )
+    return _pallas_fused_core(
+        queries, probes, corpus_padded, rbin_padded, xx_padded,
+        s2o_padded, g_first, num_bins=num_bins, nprobe=probes.shape[1],
+        top_k=top_k, q_blk=q_blk, r_blk=r_blk, chunk=chunk,
+        w_rank=w_rank, q_pad_rank=q_pad_rank, metric="sq_euclidean",
+        probes_given=True, interpret=interpret, rank_rows=rank_rows,
+        g_base=g_base,
+    )
 
 
 @functools.partial(
@@ -288,20 +320,56 @@ class ANNIndex(Index):
         comb = self._ensure_combined()
         layout = comb["layout"]
         n_probes = max(1, probes_per_tree)
-        plan = forest_tile_plan(
-            layout, qdev.shape[0], top_k, comb["bin_bounds"], n_probes
-        )
-        dists, internal = _forest_search(
-            qdev, comb["coeffs"], comb["consts"], comb["splits"],
-            comb["buckets"], comb["offsets"],
-            layout["corpus_sorted"], layout["rbin"],
-            layout["sorted_to_orig"], plan["g_first"], plan["g_rstart"],
-            n_probes=n_probes, num_bins=layout["num_bins"],
-            top_k=top_k, q_blk=plan["q_blk"], r_blk=plan["r_blk"],
-            w_rank=plan["w_rank"],
-            use_approx=jax.default_backend() == "tpu",
-            rank_rows=plan["rank_rows"],
-        )
+        engine = self.config.engine
+        if engine == "auto":
+            engine = (
+                "pallas"
+                if jax.default_backend() == "tpu" and top_k <= MAX_PALLAS_K
+                else "xla"
+            )
+        if engine == "pallas":
+            from vers_tpu.core import round_up
+            from vers_tpu.ops.pallas_binned import padded_forest_layout
+
+            chunk = 1024
+            r_blk = round_up(max(2048, layout["max_bin"], top_k), chunk)
+            padded = padded_forest_layout(
+                layout, r_blk, comb["bin_bounds"]
+            )
+            q_n = qdev.shape[0]
+            q_blk = 128 if jax.default_backend() == "tpu" else 64
+            q_pad_rank = round_up(q_n, q_blk)
+            w_rank = q_pad_rank // q_blk + padded["g_max"] + 1
+            n_trees = len(comb["bin_bounds"]) - 1
+            rank_rows = tuple(
+                t for t in range(n_trees) for _ in range(n_probes)
+            )
+            dists, internal = _forest_search_pallas(
+                qdev, comb["coeffs"], comb["consts"], comb["splits"],
+                comb["buckets"], comb["offsets"],
+                padded["corpus"], padded["rbin"], padded["xx"],
+                padded["s2o"], padded["g_first"],
+                n_probes=n_probes, num_bins=layout["num_bins"],
+                top_k=top_k, q_blk=q_blk, r_blk=r_blk, chunk=chunk,
+                w_rank=w_rank, q_pad_rank=q_pad_rank,
+                rank_rows=rank_rows, g_base=padded["g_base"],
+                interpret=jax.default_backend() != "tpu",
+            )
+        else:
+            plan = forest_tile_plan(
+                layout, qdev.shape[0], top_k, comb["bin_bounds"], n_probes
+            )
+            dists, internal = _forest_search(
+                qdev, comb["coeffs"], comb["consts"], comb["splits"],
+                comb["buckets"], comb["offsets"],
+                layout["corpus_sorted"], layout["rbin"],
+                layout["sorted_to_orig"], plan["g_first"], plan["g_rstart"],
+                n_probes=n_probes, num_bins=layout["num_bins"],
+                top_k=top_k, q_blk=plan["q_blk"], r_blk=plan["r_blk"],
+                w_rank=plan["w_rank"],
+                use_approx=jax.default_backend() == "tpu",
+                rank_rows=plan["rank_rows"],
+            )
         internal = np.asarray(internal)
         dists = np.asarray(dists)
         ext = np.where(

@@ -601,6 +601,7 @@ def binned_topk_fused(
     static_argnames=(
         "num_bins", "nprobe", "top_k", "q_blk", "r_blk", "chunk",
         "w_rank", "q_pad_rank", "metric", "probes_given", "interpret",
+        "rank_rows", "g_base",
     ),
 )
 def _pallas_fused_core(
@@ -609,6 +610,7 @@ def _pallas_fused_core(
     num_bins: int, nprobe: int, top_k: int, q_blk: int, r_blk: int,
     chunk: int, w_rank: int, q_pad_rank: int,
     metric: str, probes_given: bool, interpret: bool,
+    rank_rows: tuple = None, g_base: tuple = (0,),
 ):
     """Single-dispatch binned search with the Pallas packed-scan kernel
     (`ops/pallas_binned.py`) instead of the XLA lax.scan."""
@@ -645,8 +647,10 @@ def _pallas_fused_core(
             jnp.pad(qbin, (0, q_pad_rank - q_n), constant_values=-1)
         )
         orders.append(order)
+        row = 0 if rank_rows is None else rank_rows[r]
         qb_r, gb_r = _workitems_blocks(
-            counts, r * q_pad_rank, g_first, q_blk, w_rank, qb_scratch
+            counts, r * q_pad_rank, g_first[row], q_blk, w_rank,
+            qb_scratch, g_base=g_base[row],
         )
         qb_parts.append(qb_r)
         gb_parts.append(gb_r)
@@ -714,7 +718,7 @@ def binned_topk_pallas(
     if jax.default_backend() == "tpu":
         q_blk = max(round_up(q_blk, 128), 128)
     q_pad_rank = round_up(q_n, q_blk)
-    w_rank = q_pad_rank // q_blk + padded["n_groups"] + 1
+    w_rank = q_pad_rank // q_blk + padded["g_max"] + 1
     return _pallas_fused_core(
         queries,
         centroids if probes is None else probes,
@@ -725,6 +729,7 @@ def binned_topk_pallas(
         q_pad_rank=q_pad_rank, metric=metric,
         probes_given=probes is not None,
         interpret=jax.default_backend() != "tpu",
+        rank_rows=(0,) * p, g_base=padded["g_base"],
     )
 
 

@@ -45,57 +45,80 @@ DEFAULT_CHUNK = 1024
 
 
 def padded_group_layout(layout: Dict, r_blk: int) -> Dict:
-    """Group-major padded device arrays for a bin-major layout: group g
-    occupies rows [g*r_blk, g*r_blk + span_g) (padding rows have
-    rbin = -1). Cached on the layout per r_blk."""
-    from vers_tpu.ops.binned import static_groups
+    """Single-table special case of `padded_forest_layout` (IVF:
+    every probe rank shares one group table over all bins)."""
+    return padded_forest_layout(layout, r_blk, [0, layout["num_bins"]])
 
-    cache = layout.setdefault("_padded_groups", {})
-    if r_blk in cache:
-        return cache[r_blk]
-    g_first, g_rstart = static_groups(layout, r_blk)
+
+def padded_forest_layout(layout: Dict, r_blk: int, bounds) -> Dict:
+    """Group-major padded layout for a stacked multi-tree (forest)
+    layout: per-tree group tables over each tree's bin range
+    [bounds[t], bounds[t+1]), concatenated into one global group list.
+    Returns the padded arrays plus stacked per-tree tables
+    (g_first (T, Gmax+1)) and each tree's global group base."""
+    from vers_tpu.ops.binned import stack_group_tables, static_groups
+
+    cache = layout.setdefault("_padded_forest", {})
+    key = (r_blk, tuple(int(b) for b in bounds))
+    if key in cache:
+        return cache[key]
+    tables = [
+        static_groups(layout, r_blk, int(bounds[t]), int(bounds[t + 1]))
+        for t in range(len(bounds) - 1)
+    ]
+    g_first_stacked, _ = stack_group_tables(tables)
+    g_base = np.concatenate(
+        [[0], np.cumsum([len(r) for _, r in tables])]
+    ).astype(np.int64)
+    n_groups = int(g_base[-1])
+
     sizes = layout["sizes_host"]
     starts = layout["starts_host"]
     k = len(sizes)
-    n_groups = len(g_rstart)
     corpus = np.asarray(layout["corpus_sorted"])
     rbin = np.asarray(layout["rbin"])
     s2o = np.asarray(layout["sorted_to_orig"])
     d = corpus.shape[1]
-    d_pad = round_up(d, 128)  # lane-aligned feature dim (zero columns)
+    d_pad = round_up(d, 128)
     xp = np.zeros((n_groups * r_blk, d_pad), np.float32)
     rb = np.full((n_groups * r_blk,), -1, np.int32)
     so = np.full((n_groups * r_blk,), -1, np.int32)
-    for g in range(n_groups):
-        lo = int(g_rstart[g])
-        hi_bin = int(g_first[g + 1])
-        hi = int(starts[hi_bin]) if hi_bin < k else int(
-            starts[-1] + sizes[-1]
-        ) if k else 0
-        span = min(hi - lo, r_blk)
-        xp[g * r_blk : g * r_blk + span, :d] = corpus[lo : lo + span]
-        rb[g * r_blk : g * r_blk + span] = rbin[lo : lo + span]
-        so[g * r_blk : g * r_blk + span] = s2o[lo : lo + span]
+    g = 0
+    for fi, ri in tables:
+        for j in range(len(ri)):
+            lo = int(ri[j])
+            hi_bin = int(fi[j + 1])
+            hi = int(starts[hi_bin]) if hi_bin < k else (
+                int(starts[-1] + sizes[-1]) if k else 0
+            )
+            span = min(hi - lo, r_blk)
+            xp[g * r_blk : g * r_blk + span, :d] = corpus[lo : lo + span]
+            rb[g * r_blk : g * r_blk + span] = rbin[lo : lo + span]
+            so[g * r_blk : g * r_blk + span] = s2o[lo : lo + span]
+            g += 1
     xx = np.sum(xp.astype(np.float64) ** 2, axis=1).astype(np.float32)
     out = dict(
         corpus=jnp.asarray(xp),
         rbin=jnp.asarray(rb[None, :]),
         s2o=jnp.asarray(so),
         xx=jnp.asarray(xx[None, :]),
-        g_first=jnp.asarray(g_first),
+        g_first=jnp.asarray(g_first_stacked),
+        g_base=tuple(int(b) for b in g_base[:-1]),
         n_groups=n_groups,
+        g_max=max(len(r) for _, r in tables),
         r_blk=r_blk,
     )
-    cache[r_blk] = out
+    cache[key] = out
     return out
 
 
 def _workitems_blocks(qcounts, rank_off, g_first, q_blk: int,
-                      w_rank: int, qb_scratch: int):
+                      w_rank: int, qb_scratch: int, g_base: int = 0):
     """Block-aligned work items for one probe rank: (qb, gb) int32
     (w_rank,) arrays. Group g's tiles are the query BLOCKS overlapping
     its sorted-query span [qlo, qhi); invalid items park on the scratch
-    block."""
+    block. ``g_base`` offsets local group ids into the global padded
+    layout (multi-table/forest case)."""
     qcum = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(qcounts, dtype=jnp.int32)]
     )
@@ -113,7 +136,7 @@ def _workitems_blocks(qcounts, rank_off, g_first, q_blk: int,
     prev = jnp.where(g_c > 0, tcum[jnp.maximum(g_c - 1, 0)], 0)
     valid = w < total
     qb = jnp.where(valid, b0[g_c] + (w - prev), qb_scratch)
-    gb = jnp.where(valid, g_c, 0)
+    gb = jnp.where(valid, g_base + g_c, 0)
     return qb, gb
 
 
