@@ -542,7 +542,11 @@ def forest_tile_plan(
     ]
     g_first, g_rstart = stack_group_tables(tables)
     g_max = max(len(r) for _, r in tables)
-    q_blk = min(round_up(max(64, q_n // max(g_max, 1) * 2), 64),
+    # q_blk sizing uses the FOREST-wide group count: per-step cost
+    # scales with tile area, so per-tree tables must not inflate q_blk
+    # (measured: q_blk 2520 vs 384 cost ~1.4x at 100k x 300)
+    g_total = sum(len(r) for _, r in tables)
+    q_blk = min(round_up(max(64, q_n // max(g_total, 1) * 2), 64),
                 round_up(q_n, 8))
     w_rank = (q_n + q_blk - 1) // q_blk + g_max
     rank_rows = tuple(
