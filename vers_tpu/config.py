@@ -79,3 +79,6 @@ class HNSWConfig:
     # Cap on the padded adjacency width for the TPU beam scan. None →
     # 2*num_neighbours (the layer-0 degree bound).
     max_degree: Optional[int] = None
+    # dtype of the beam loop's navigation vector table ("bfloat16"
+    # halves the gather HBM traffic; final top-k is f32-rescored).
+    nav_dtype: str = "bfloat16"

@@ -34,7 +34,7 @@ from vers_tpu.core import as_query_matrix, round_up
 from vers_tpu.index.base import Index
 from vers_tpu.io.bincode import Reader, Writer
 from vers_tpu.models.candidates import AdjacencyItem, DistanceCandidatePair, SearchResult
-from vers_tpu.ops.beam import beam_search_layer
+from vers_tpu.ops.beam import beam_search_layer, rescore_cosine
 
 
 class _Layer:
@@ -389,8 +389,17 @@ class HNSWIndex(Index):
             if self.layers[-1].adjacency
             else None
         )
+        vecs_dev = jnp.asarray(vecs)
+        nav_dtype = getattr(self.config, "nav_dtype", "bfloat16")
         self._device_cache = dict(
-            vecs=jnp.asarray(vecs),
+            vecs=vecs_dev,
+            # navigation table: bf16 halves the HBM traffic of the beam
+            # loop's neighbour gathers (final results are f32-rescored)
+            vecs_nav=(
+                vecs_dev.astype(jnp.bfloat16)
+                if nav_dtype == "bfloat16"
+                else vecs_dev
+            ),
             adjs=adjs,
             node_ids=np.asarray(node_ids, dtype=np.int64),
             entry=compact.get(entry_ext, 0) if entry_ext is not None else None,
@@ -416,7 +425,7 @@ class HNSWIndex(Index):
         for layer_idx in range(len(self.layers) - 2, -1, -1):
             beam_d, beam_i = beam_search_layer(
                 qdev,
-                cache["vecs"],
+                cache["vecs_nav"],
                 cache["adjs"][layer_idx],
                 entry,
                 ef=ef,
@@ -424,6 +433,10 @@ class HNSWIndex(Index):
             )
             if layer_idx != 0:
                 entry = beam_i[:, 0]  # best candidate
+        if cache["vecs_nav"].dtype != cache["vecs"].dtype:
+            beam_d, beam_i = rescore_cosine(
+                qdev, cache["vecs"], beam_i, top_k
+            )
         bd = np.asarray(beam_d[:, :top_k])
         bi = np.asarray(beam_i[:, :top_k])
         ids = np.where(

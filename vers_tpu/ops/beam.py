@@ -53,11 +53,17 @@ def beam_search_layer(
     n_pad, deg = adj.shape
     e = max(1, min(expand_per_step, ef))
 
+    # navigation runs in the vector table's dtype: a bf16 table halves
+    # the HBM traffic of the (Q, m, d) gathers that dominate this loop
+    q_nav = queries.astype(vecs.dtype)
+
     def dist_to(ids):
         # ids (Q, m) -> (Q, m) cosine distances; -1 -> +inf
         v = jnp.take(vecs, jnp.clip(ids, 0, n_pad - 1), axis=0)  # (Q, m, d)
         dots = jnp.einsum(
-            "qmd,qd->qm", v, queries, precision=jax.lax.Precision.HIGHEST
+            "qmd,qd->qm", v, q_nav,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
         )
         return jnp.where(ids >= 0, 1.0 - dots, _BIG)
 
@@ -128,3 +134,23 @@ def beam_search_layer(
     )
     _, beam_d, beam_i, _, _ = jax.lax.while_loop(cond, body, state)
     return beam_d, beam_i
+
+
+@functools.partial(jax.jit, static_argnames=("top_k",))
+def rescore_cosine(queries, vecs_f32, ids, top_k: int):
+    """Exact f32 rescore of beam results (after bf16 navigation):
+    gather the top candidates' f32 vectors, recompute 1-dot, and
+    re-sort ascending. Returns (d (Q, top_k), ids (Q, top_k))."""
+    n_pad = vecs_f32.shape[0]
+    cand = ids[:, :top_k]
+    v = jnp.take(vecs_f32, jnp.clip(cand, 0, n_pad - 1), axis=0)
+    dots = jnp.einsum(
+        "qmd,qd->qm", v, queries,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    d = jnp.where(cand >= 0, 1.0 - dots, _BIG)
+    d_sorted, sel = topk_smallest(d, top_k)
+    i_sorted = jnp.take_along_axis(cand, sel, axis=1)
+    i_sorted = jnp.where(jnp.isfinite(d_sorted), i_sorted, -1)
+    return d_sorted, i_sorted
