@@ -74,7 +74,7 @@ def main():
 
     # flat exact QPS (diagnostic + fallback operating point)
     t_flat, _ = timed_device(
-        lambda: distance_topk(qdev, corpus, n, TOP_K), warmup=1, iters=3
+        lambda: distance_topk(qdev, corpus, n, TOP_K), warmup=1, iters=2, depth=8
     )
     log(f"flat exact: {Q / t_flat:.0f} qps ({t_flat*1e3:.1f} ms / {Q} queries)")
 
@@ -87,7 +87,7 @@ def main():
     )
     _, ai = fa()
     approx_rec = recall_at_k(np.asarray(ai), truth)
-    t_approx, _ = timed_device(fa, warmup=0, iters=3)
+    t_approx, _ = timed_device(fa, warmup=1, iters=2, depth=8)
     log(
         f"flat approx: {Q / t_approx:.0f} qps recall@10={approx_rec:.4f}"
     )
@@ -110,9 +110,10 @@ def main():
         res = index.search_batch(qdev, TOP_K, nprobe=nprobe)
         rec = recall_at_k(res.ids, truth)
         t_q, _ = timed_device(
-            lambda np_=nprobe: index.search_batch(qdev, TOP_K, nprobe=np_),
+            lambda np_=nprobe: index.search_batch_device(qdev, TOP_K, nprobe=np_),
             warmup=0,
-            iters=3,
+            iters=2,
+            depth=8,
         )
         qps = Q / t_q
         log(f"nprobe={nprobe}: recall@10={rec:.4f} qps={qps:.0f}")

@@ -73,7 +73,7 @@ def config_wiki_ivfflat(n, d):
         rec = recall_at_k(res.ids, truth)
         t_q, _ = timed_device(
             lambda np_=nprobe: idx.search_batch(queries, 10, nprobe=np_),
-            warmup=0, iters=3,
+            warmup=0, iters=2, depth=8,
         )
         emit(config="wiki-ivfflat", n=n, d=d, k=64, nprobe=nprobe,
              build_s=round(build_s, 2), recall_at_10=round(rec, 4),
@@ -92,7 +92,7 @@ def config_wiki_lsh(n, d):
     build_s = time.perf_counter() - t0
     res = idx.search_batch(queries, 10)
     rec = recall_at_k(res.ids, truth)
-    t_q, _ = timed_device(lambda: idx.search_batch(queries, 10), warmup=0, iters=3)
+    t_q, _ = timed_device(lambda: idx.search_batch(queries, 10), warmup=0, iters=2, depth=8)
     emit(config="wiki-lsh", n=n, d=d, trees=8, max_node=100,
          build_s=round(build_s, 2), recall_at_10=round(rec, 4),
          qps=round(len(queries) / t_q, 1))
@@ -114,7 +114,7 @@ def config_wiki_hnsw(n, d):
         idx.ef_search = ef
         res = idx.search_batch(queries, 10)
         rec = recall_at_k(res.ids, truth)
-        t_q, _ = timed_device(lambda: idx.search_batch(queries, 10), warmup=0, iters=3)
+        t_q, _ = timed_device(lambda: idx.search_batch(queries, 10), warmup=0, iters=2, depth=8)
         emit(config="wiki-hnsw", n=n, d=d, ef_search=ef,
              build_s=round(build_s, 2), recall_at_10=round(rec, 4),
              qps=round(len(queries) / t_q, 1))
@@ -144,7 +144,7 @@ def config_sift_ivfflat(n):
         rec = recall_at_k(res.ids, truth)
         t_q, _ = timed_device(
             lambda np_=nprobe: idx.search_batch(queries, 10, nprobe=np_),
-            warmup=0, iters=3,
+            warmup=0, iters=2, depth=8,
         )
         emit(config="sift-ivfflat", n=len(vectors), d=128, nprobe=nprobe,
              build_s=round(build_s, 2), recall_at_10=round(rec, 4),
@@ -166,7 +166,7 @@ def config_glove_sharded(n):
     # cosine truth differs from L2 truth only by normalization (both
     # normalized here, so rankings agree)
     rec = recall_at_k(res.ids, truth)
-    t_q, _ = timed_device(lambda: idx.search_batch(queries, 10), warmup=0, iters=3)
+    t_q, _ = timed_device(lambda: idx.search_batch(queries, 10), warmup=0, iters=2, depth=8)
     # sharded save/load roundtrip
     import tempfile, os
     tmp = os.path.join(tempfile.gettempdir(), "glove_sharded")
@@ -188,7 +188,7 @@ def config_glove_sharded(n):
         rec = recall_at_k(res.ids, truth)
         t_q, _ = timed_device(
             lambda np_=nprobe: sivf.search_batch(queries, 10, nprobe=np_),
-            warmup=0, iters=3,
+            warmup=0, iters=2, depth=8,
         )
         emit(config="glove-sharded-ivf", n=n, d=d, nprobe=nprobe,
              n_devices=len(jax.devices()), build_s=round(build_s, 2),

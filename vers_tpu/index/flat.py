@@ -51,11 +51,15 @@ class FlatIndex(Index):
         self._store.append(embedding)
         self._ids = np.append(self._ids, np.int64(vec_id))
 
-    def search_batch(self, queries, top_k: int) -> SearchResult:
+    def search_batch_device(self, queries, top_k: int):
+        """Device-resident search: returns (dists (Q,k) f32, rows (Q,k)
+        int32) as jax arrays, rows being corpus positions (== external
+        ids unless custom ids were supplied). No host transfer — the
+        throughput path for pipelined serving."""
         queries = as_query_matrix(queries)
         n = self._store.count
         k_eff = max(1, min(top_k, self._store.capacity))
-        dists, rows = distance_topk(
+        return distance_topk(
             queries,
             self._store.data,
             n,
@@ -63,6 +67,10 @@ class FlatIndex(Index):
             metric=self.config.metric,
             chunk_size=self.config.chunk_size,
         )
+
+    def search_batch(self, queries, top_k: int) -> SearchResult:
+        k_eff = max(1, min(top_k, self._store.capacity))
+        dists, rows = self.search_batch_device(queries, top_k)
         dists = np.asarray(dists)
         rows = np.asarray(rows)
         ids = np.where(rows >= 0, self._ids[np.clip(rows, 0, len(self._ids) - 1)], -1)

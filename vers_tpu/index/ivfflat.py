@@ -149,9 +149,11 @@ class IVFFlatIndex(Index):
             self._ids[int(c)].append(base + i)
         self._layout = None
 
-    def search_batch(
+    def search_batch_device(
         self, queries, top_k: int, nprobe: Optional[int] = None
-    ) -> SearchResult:
+    ):
+        """Device-resident search: (dists (Q,k) f32, ids (Q,k) int32)
+        jax arrays, no host transfer — the pipelined-serving path."""
         layout = self._ensure_layout()
         qdev = as_query_matrix(queries)
         nprobe = nprobe if nprobe is not None else (self.config.nprobe or 1)
@@ -164,14 +166,18 @@ class IVFFlatIndex(Index):
                 else "xla"
             )
         if engine == "pallas":
-            dists, rows = binned_topk_pallas(
+            return binned_topk_pallas(
                 qdev, self._centroids_dev, nprobe, layout, top_k=top_k,
             )
-        else:
-            dists, rows = binned_topk_fused(
-                qdev, self._centroids_dev, nprobe, layout, top_k=top_k,
-                precision=self.config.precision,
-            )
+        return binned_topk_fused(
+            qdev, self._centroids_dev, nprobe, layout, top_k=top_k,
+            precision=self.config.precision,
+        )
+
+    def search_batch(
+        self, queries, top_k: int, nprobe: Optional[int] = None
+    ) -> SearchResult:
+        dists, rows = self.search_batch_device(queries, top_k, nprobe)
         return SearchResult(
             ids=np.asarray(rows, dtype=np.int64), distances=np.asarray(dists)
         )

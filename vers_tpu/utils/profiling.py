@@ -24,17 +24,47 @@ class Timer:
         return False
 
 
-def timed_device(fn: Callable, *args, warmup: int = 1, iters: int = 5, **kw):
-    """Time a device function with compile warmup and block_until_ready.
-    Returns (best_seconds, last_result)."""
+def device_sync(result):
+    """Wait until ``result`` (a pytree of jax arrays) has actually been
+    computed. ``jax.block_until_ready`` is unreliable on remote/tunnel
+    platforms (it can acknowledge at dispatch), so this forces a tiny
+    host transfer of the first leaf — the only sync that provably waits
+    for the device queue to drain."""
+    import numpy as np
+
+    for leaf in jax.tree_util.tree_leaves(result):
+        # SearchResult and friends: sync their array attributes instead
+        x = getattr(leaf, "ids", leaf)
+        ndim = getattr(x, "ndim", None)
+        if ndim is None:
+            continue
+        np.asarray(x[(slice(0, 1),) * ndim])
+        break
+    return result
+
+
+def timed_device(
+    fn: Callable, *args, warmup: int = 1, iters: int = 5, depth: int = 1, **kw
+):
+    """Time a device function with compile warmup and a forced host
+    sync. Returns (best_seconds_per_call, last_result).
+
+    ``depth``: calls chained per timed iteration with ONE sync at the
+    end. With depth=1 every measurement pays the full host<->device
+    round-trip (~30ms on the axon tunnel) — that is latency, not
+    throughput. depth>1 amortizes the round-trip the way any real
+    serving pipeline does (keep the device queue non-empty), so it
+    measures sustained device throughput."""
     result = None
     for _ in range(max(warmup, 0)):
-        result = jax.block_until_ready(fn(*args, **kw))
+        result = device_sync(fn(*args, **kw))
     best = float("inf")
     for _ in range(max(iters, 1)):
         t0 = time.perf_counter()
-        result = jax.block_until_ready(fn(*args, **kw))
-        best = min(best, time.perf_counter() - t0)
+        for _ in range(max(depth, 1)):
+            result = fn(*args, **kw)
+        device_sync(result)
+        best = min(best, (time.perf_counter() - t0) / max(depth, 1))
     return best, result
 
 
