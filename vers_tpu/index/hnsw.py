@@ -402,21 +402,23 @@ class HNSWIndex(Index):
             ),
             adjs=adjs,
             node_ids=np.asarray(node_ids, dtype=np.int64),
+            node_ids_dev=jnp.asarray(node_ids, dtype=jnp.int32),
             entry=compact.get(entry_ext, 0) if entry_ext is not None else None,
         )
         return self._device_cache
 
-    def search_batch(self, queries, top_k: int) -> SearchResult:
-        qdev_in = as_query_matrix(queries)
-        q_n = qdev_in.shape[0]
+    def search_batch_device(self, queries, top_k: int):
+        """Device-resident search: (dists (Q,k) f32, external ids (Q,k)
+        int32) jax arrays, no host transfer — the pipelined path."""
+        qdev = as_query_matrix(queries)
+        q_n = qdev.shape[0]
         cache = self._ensure_device_cache()
         if cache["entry"] is None or len(self.layers) < 2:
             # quirk parity: no entrypoint / single layer -> no results
-            return SearchResult(
-                ids=np.full((q_n, top_k), -1, np.int64),
-                distances=np.full((q_n, top_k), np.inf, np.float32),
+            return (
+                jnp.full((q_n, top_k), jnp.inf, jnp.float32),
+                jnp.full((q_n, top_k), -1, jnp.int32),
             )
-        qdev = qdev_in
         ef = max(self.ef_search, top_k)
         n_nodes = len(cache["node_ids"])
         max_steps = max(4 * ef, 64)
@@ -437,12 +439,20 @@ class HNSWIndex(Index):
             beam_d, beam_i = rescore_cosine(
                 qdev, cache["vecs"], beam_i, top_k
             )
-        bd = np.asarray(beam_d[:, :top_k])
-        bi = np.asarray(beam_i[:, :top_k])
-        ids = np.where(
-            bi >= 0, cache["node_ids"][np.clip(bi, 0, n_nodes - 1)], -1
+        bd = beam_d[:, :top_k]
+        bi = beam_i[:, :top_k]
+        ids = jnp.where(
+            bi >= 0,
+            jnp.take(cache["node_ids_dev"], jnp.clip(bi, 0, n_nodes - 1)),
+            -1,
         )
-        return SearchResult(ids=ids.astype(np.int64), distances=bd)
+        return bd, ids
+
+    def search_batch(self, queries, top_k: int) -> SearchResult:
+        bd, ids = self.search_batch_device(queries, top_k)
+        return SearchResult(
+            ids=np.asarray(ids).astype(np.int64), distances=np.asarray(bd)
+        )
 
     # -- persistence (bincode parity: `hnsw.rs:20-32`, `models.rs:149-153`)
 

@@ -308,6 +308,31 @@ class ANNIndex(Index):
             v = 2 * int(s) + side
         return 0
 
+    def _ids_device(self):
+        """Cached device copy of the internal->external id map (int32)."""
+        cached = getattr(self, "_ids_dev", None)
+        if cached is None or cached[0] is not self._ids:
+            self._ids_dev = (self._ids, jnp.asarray(self._ids, jnp.int32))
+            cached = self._ids_dev
+        return cached[1]
+
+    def search_batch_device(
+        self, queries, top_k: int, probes_per_tree: int = 1
+    ):
+        """Device-resident variant of ``search_batch``: returns
+        (dists (Q,k) f32, external ids (Q,k) int32) jax arrays with no
+        host transfer — the pipelined-serving path."""
+        dists, internal = self._search_batch_internal(
+            queries, top_k, probes_per_tree
+        )
+        idmap = self._ids_device()
+        ext = jnp.where(
+            internal >= 0,
+            jnp.take(idmap, jnp.clip(internal, 0, idmap.shape[0] - 1)),
+            -1,
+        )
+        return dists, ext
+
     def search_batch(
         self, queries, top_k: int, probes_per_tree: int = 1
     ) -> SearchResult:
@@ -315,6 +340,21 @@ class ANNIndex(Index):
         + packed binned scan + merge, one compiled program.
         ``probes_per_tree`` > 1 adds min-margin sibling probes per tree
         (the batched analogue of the reference's backup-branch rule)."""
+        dists, internal = self._search_batch_internal(
+            queries, top_k, probes_per_tree
+        )
+        internal = np.asarray(internal)
+        dists = np.asarray(dists)
+        ext = np.where(
+            internal >= 0,
+            self._ids[np.clip(internal, 0, len(self._ids) - 1)],
+            -1,
+        )
+        return SearchResult(ids=ext.astype(np.int64), distances=dists)
+
+    def _search_batch_internal(
+        self, queries, top_k: int, probes_per_tree: int = 1
+    ):
         self._rebuild_dirty()
         qdev = as_query_matrix(queries)
         comb = self._ensure_combined()
@@ -370,14 +410,7 @@ class ANNIndex(Index):
                 use_approx=jax.default_backend() == "tpu",
                 rank_rows=plan["rank_rows"],
             )
-        internal = np.asarray(internal)
-        dists = np.asarray(dists)
-        ext = np.where(
-            internal >= 0,
-            self._ids[np.clip(internal, 0, len(self._ids) - 1)],
-            -1,
-        )
-        return SearchResult(ids=ext.astype(np.int64), distances=dists)
+        return dists, internal
 
     # -- single-query parity path (deficit/backup rule) ------------------
 

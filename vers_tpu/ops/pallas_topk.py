@@ -127,6 +127,119 @@ def _kernel(n_valid_ref, q_ref, x_ref, xx_ref, out_d_ref, out_i_ref,
         out_i_ref[:] = jnp.where(jnp.isfinite(best_d[:]), best_i[:], -1)
 
 
+def _values_kernel(vals_ref, ids_ref, out_d_ref, out_i_ref, best_d, best_i,
+                   *, k: int):
+    j = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        best_d[:] = jnp.full_like(best_d, jnp.inf)
+        best_i[:] = jnp.full_like(best_i, -1)
+
+    vals = vals_ref[:]
+    kth = jnp.max(best_d[:], axis=1, keepdims=True)
+    improves = jnp.any(vals < kth)
+
+    @pl.when(improves)
+    def _merge():
+        cand_d = jnp.concatenate([best_d[:], vals], axis=1)
+        cand_i = jnp.concatenate([best_i[:], ids_ref[:]], axis=1)
+        qt = cand_d.shape[0]
+        col = jax.lax.broadcasted_iota(jnp.int32, cand_d.shape, 1)
+        col_k = jax.lax.broadcasted_iota(jnp.int32, (qt, k), 1)
+
+        def body(t, carry):
+            cd, od, oi = carry
+            am = jnp.argmin(cd, axis=1)
+            m = jnp.min(cd, axis=1)
+            picked = col == am[:, None]
+            got_i = jnp.sum(jnp.where(picked, cand_i, 0), axis=1).astype(
+                jnp.int32
+            )
+            at_t = col_k == t
+            od = jnp.where(at_t, m[:, None], od)
+            oi = jnp.where(at_t, got_i[:, None], oi)
+            cd = jnp.where(picked, jnp.inf, cd)
+            return cd, od, oi
+
+        _, od, oi = jax.lax.fori_loop(
+            0, k, body,
+            (cand_d,
+             jnp.full((qt, k), jnp.inf, jnp.float32),
+             jnp.full((qt, k), -1, jnp.int32)),
+        )
+        best_d[:] = od
+        best_i[:] = oi
+
+    @pl.when(j == n_chunks - 1)
+    def _flush():
+        out_d_ref[:] = best_d[:]
+        out_i_ref[:] = jnp.where(jnp.isfinite(best_d[:]), best_i[:], -1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "query_tile", "chunk_size", "interpret"),
+)
+def pallas_topk_values(
+    vals: jnp.ndarray,
+    ids: jnp.ndarray,
+    k: int,
+    query_tile: int = 128,
+    chunk_size: int = 1024,
+    interpret: bool = False,
+):
+    """Exact top-k (smallest) of precomputed (Q, W) f32 values with
+    carried int32 ids — the streaming-merge kernel without the distance
+    matmul. Exists because XLA's sorts at moderate widths are the
+    slowest op in the bucket-scan pipeline (lax.top_k: 47ms,
+    lax.approx_min_k: 36ms at (16k, 6272); this kernel: ~2ms).
+
+    Returns (vals (Q, k) ascending, ids (Q, k); +inf/-1 padding).
+    """
+    q_n, w = vals.shape
+    qt = min(query_tile, round_up(q_n, 8))
+    chunk = max(128, min(chunk_size, round_up(w, 128)))
+    q_pad = round_up(q_n, qt)
+    w_pad = round_up(w, chunk)
+    if q_pad != q_n or w_pad != w:
+        vals = jnp.pad(
+            vals, ((0, q_pad - q_n), (0, w_pad - w)),
+            constant_values=jnp.inf,
+        )
+        ids = jnp.pad(
+            ids, ((0, q_pad - q_n), (0, w_pad - w)), constant_values=-1
+        )
+    grid = (q_pad // qt, w_pad // chunk)
+    out_d, out_i = pl.pallas_call(
+        functools.partial(_values_kernel, k=k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((qt, chunk), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qt, chunk), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((qt, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qt, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((q_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((q_pad, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((qt, k), jnp.float32),
+            pltpu.VMEM((qt, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(vals, ids)
+    return out_d[:q_n], out_i[:q_n]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -228,9 +341,18 @@ def distance_topk(
     for ranking, distances good to ~3 decimal digits).
 
     "approx" routes to ``approx_scan_topk`` (TPU PartialReduce top-k,
-    ~4x faster, recall ~0.99 vs exact)."""
+    ~4x faster, recall ~0.99 vs exact); "bucket" routes to the
+    bucket-min Pallas scan (``ops.pallas_bucket``, fastest at large N,
+    recall ~0.99, exact f32 distances via shortlist rescore)."""
     if force == "approx":
         return approx_scan_topk(queries, corpus, n_valid, k, metric=metric)
+    if force == "bucket":
+        from vers_tpu.ops.pallas_bucket import bucket_scan_topk
+
+        return bucket_scan_topk(
+            queries, corpus, n_valid, k, metric=metric,
+            interpret=jax.default_backend() != "tpu",
+        )
     use_pallas = (
         force == "pallas"
         or (
