@@ -62,3 +62,21 @@ def test_batched_roundtrip(tmp_path, corpus):
     re = HNSWIndex.load_index(p, dim=24)
     assert re.get_num_nodes_in_layers() == idx.get_num_nodes_in_layers()
     assert re.search_approximate(x[9], 10) == idx.search_approximate(x[9], 10)
+
+
+def test_int8_nav_and_ef_route(corpus):
+    """int8 navigation table + narrow routing beam: same quality as the
+    bf16 full-ef path (both end in an exact f32 rescore)."""
+    from vers_tpu.config import HNSWConfig
+
+    x = corpus
+    idx = HNSWIndex.build_index_batched(4, 48, 32, 8, x, wave_cap=128)
+    q = x[:64]
+    truth = np.argsort(-(q @ x.T), axis=1)[:, :10]
+    base = recall_at_k(idx.search_batch(q, 10).ids, truth)
+    import dataclasses
+
+    idx.config = dataclasses.replace(idx.config, nav_dtype="int8", ef_route=4)
+    idx._device_cache = None  # rebuild nav table
+    fast = recall_at_k(idx.search_batch(q, 10).ids, truth)
+    assert fast > base - 0.05, (fast, base)

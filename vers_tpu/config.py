@@ -80,5 +80,12 @@ class HNSWConfig:
     # 2*num_neighbours (the layer-0 degree bound).
     max_degree: Optional[int] = None
     # dtype of the beam loop's navigation vector table ("bfloat16"
-    # halves the gather HBM traffic; final top-k is f32-rescored).
+    # halves the gather HBM traffic vs f32; "int8" halves it again via
+    # symmetric per-row quantization; final top-k is f32-rescored).
     nav_dtype: str = "bfloat16"
+    # Beam width for the routing layers (> 0). The reference uses
+    # ef_search on every layer (`hnsw.rs:526-536`); a narrow routing
+    # beam only has to land the entry point for the layer below, so a
+    # small value trades negligible recall for a large wall-clock win.
+    # None -> use ef_search everywhere (reference behavior).
+    ef_route: Optional[int] = None

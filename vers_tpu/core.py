@@ -43,6 +43,25 @@ def as_query_matrix(queries) -> jnp.ndarray:
     return q
 
 
+def to_device(x: np.ndarray, max_chunk_bytes: int = 256 << 20) -> jnp.ndarray:
+    """Host->device transfer in bounded row slices.
+
+    A single huge ``jnp.asarray`` is pathological on remote-tunneled
+    device clients (observed: a 1.2GB buffer burning CPU for >15min
+    where 300MB moves in ~10s). Slicing keeps each transfer bounded,
+    concatenating on device. On local-PCIe hosts the extra concat is
+    noise."""
+    x = np.ascontiguousarray(x)
+    if x.ndim < 1 or x.nbytes <= max_chunk_bytes:
+        return jnp.asarray(x)
+    row_bytes = max(1, x.nbytes // max(1, x.shape[0]))
+    rows = max(1, max_chunk_bytes // row_bytes)
+    parts = [
+        jnp.asarray(x[i:i + rows]) for i in range(0, x.shape[0], rows)
+    ]
+    return jnp.concatenate(parts, axis=0)
+
+
 def pad_rows(x: jnp.ndarray, multiple: int = LANE, value: float = 0.0):
     """Pad axis 0 of ``x`` to a multiple of ``multiple``. Returns
     (padded, original_n)."""

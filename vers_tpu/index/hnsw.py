@@ -30,7 +30,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from vers_tpu.config import HNSWConfig
-from vers_tpu.core import as_query_matrix, round_up
+from vers_tpu.core import as_query_matrix, round_up, to_device
 from vers_tpu.index.base import Index
 from vers_tpu.io.bincode import Reader, Writer
 from vers_tpu.models.candidates import AdjacencyItem, DistanceCandidatePair, SearchResult
@@ -389,17 +389,28 @@ class HNSWIndex(Index):
             if self.layers[-1].adjacency
             else None
         )
-        vecs_dev = jnp.asarray(vecs)
+        vecs_dev = to_device(vecs)
         nav_dtype = getattr(self.config, "nav_dtype", "bfloat16")
+        # navigation table: the beam loop is bound by its random row
+        # gathers, so a narrower table dtype is ~linear speedup. bf16
+        # halves the bytes vs f32; int8 (symmetric per-row quant)
+        # halves again. Final results are f32-rescored either way.
+        if nav_dtype == "int8":
+            absmax = jnp.maximum(
+                jnp.max(jnp.abs(vecs_dev), axis=1, keepdims=True), 1e-12
+            )
+            vecs_nav = jnp.round(vecs_dev / absmax * 127.0).astype(jnp.int8)
+            nav_scales = (absmax[:, 0] / 127.0).astype(jnp.float32)
+        elif nav_dtype == "bfloat16":
+            vecs_nav = vecs_dev.astype(jnp.bfloat16)
+            nav_scales = None
+        else:
+            vecs_nav = vecs_dev
+            nav_scales = None
         self._device_cache = dict(
             vecs=vecs_dev,
-            # navigation table: bf16 halves the HBM traffic of the beam
-            # loop's neighbour gathers (final results are f32-rescored)
-            vecs_nav=(
-                vecs_dev.astype(jnp.bfloat16)
-                if nav_dtype == "bfloat16"
-                else vecs_dev
-            ),
+            vecs_nav=vecs_nav,
+            nav_scales=nav_scales,
             adjs=adjs,
             node_ids=np.asarray(node_ids, dtype=np.int64),
             node_ids_dev=jnp.asarray(node_ids, dtype=jnp.int32),
@@ -420,18 +431,21 @@ class HNSWIndex(Index):
                 jnp.full((q_n, top_k), -1, jnp.int32),
             )
         ef = max(self.ef_search, top_k)
+        ef_route = getattr(self.config, "ef_route", None)
+        ef_r = max(1, min(ef_route, ef)) if ef_route else ef
         n_nodes = len(cache["node_ids"])
-        max_steps = max(4 * ef, 64)
         entry = jnp.full((q_n,), cache["entry"], jnp.int32)
         beam_d = beam_i = None
         for layer_idx in range(len(self.layers) - 2, -1, -1):
+            ef_l = ef if layer_idx == 0 else ef_r
             beam_d, beam_i = beam_search_layer(
                 qdev,
                 cache["vecs_nav"],
                 cache["adjs"][layer_idx],
                 entry,
-                ef=ef,
-                max_steps=max_steps,
+                ef=ef_l,
+                max_steps=max(4 * ef_l, 64),
+                scales=cache["nav_scales"],
             )
             if layer_idx != 0:
                 entry = beam_i[:, 0]  # best candidate

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from vers_tpu.config import IVFFlatConfig
-from vers_tpu.core import as_query_matrix, round_up
+from vers_tpu.core import as_query_matrix, round_up, to_device
 from vers_tpu.index.base import Index
 from vers_tpu.io.bincode import Reader, Writer
 from vers_tpu.models.candidates import SearchResult
@@ -92,8 +92,8 @@ class IVFFlatIndex(Index):
         vectors = np.asarray(vectors, dtype=np.float32)
         n, d = vectors.shape
         n_pad = round_up(n, 128)
-        data = jnp.asarray(
-            np.pad(vectors, ((0, n_pad - n), (0, 0))), dtype=jnp.float32
+        data = to_device(
+            np.pad(vectors, ((0, n_pad - n), (0, 0))).astype(np.float32)
         )
         key = jax.random.PRNGKey(config.seed)
         centroids, _ = kmeans_ops.build_kmeans_restarts(

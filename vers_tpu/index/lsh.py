@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from vers_tpu.config import LSHConfig
-from vers_tpu.core import as_query_matrix, deduplicate, round_up
+from vers_tpu.core import as_query_matrix, deduplicate, round_up, to_device
 from vers_tpu.index.base import Index
 from vers_tpu.io.bincode import Reader, Writer
 from vers_tpu.models.candidates import SearchResult
@@ -175,7 +175,7 @@ class ANNIndex(Index):
             bin_off += max(t.num_buckets, 1)
             row_off += np.asarray(l["corpus_sorted"]).shape[0]
         combined_layout = dict(
-            corpus_sorted=jnp.asarray(corpus),
+            corpus_sorted=to_device(corpus),
             sorted_to_orig=jnp.asarray(s2o),
             rbin=jnp.asarray(np.concatenate(rbins)),
             sizes_host=np.concatenate(sizes).astype(np.int64),
@@ -230,7 +230,7 @@ class ANNIndex(Index):
         dedup_vecs, dedup_ids = deduplicate(vectors, np.asarray(vector_ids))
         n, d = dedup_vecs.shape
         n_pad = round_up(max(n, 1), 128)
-        data = jnp.asarray(np.pad(dedup_vecs, ((0, n_pad - n), (0, 0))))
+        data = to_device(np.pad(dedup_vecs, ((0, n_pad - n), (0, 0))))
         max_depth = rpforest.depth_bound(n, max_size)
         key = jax.random.PRNGKey(config.seed)
         trees = []
@@ -277,7 +277,7 @@ class ANNIndex(Index):
 
         n, d = self._values.shape
         n_pad = round_up(max(n, 1), 128)
-        data = jnp.asarray(np.pad(self._values, ((0, n_pad - n), (0, 0))))
+        data = to_device(np.pad(self._values, ((0, n_pad - n), (0, 0))))
         max_depth = rpf.depth_bound(n, self.max_node_size)
         key = jax.random.PRNGKey(self.config.seed + 1)
         for t in sorted(self._dirty_trees):

@@ -41,6 +41,7 @@ def beam_search_layer(
     ef: int,
     max_steps: int,
     expand_per_step: int = 4,
+    scales=None,  # (n_pad,) f32 per-row dequant scales for an int8 table
 ):
     """Returns (beam_d (Q, ef) ascending, beam_i (Q, ef) int32; -1/inf
     padding). Emulates one HNSWLayer::search with ef candidates.
@@ -48,23 +49,34 @@ def beam_search_layer(
     ``expand_per_step``: how many best unexpanded beam entries expand
     per iteration. 1 = classic sequential best-first; 4 = same frontier
     explored in ~4x fewer (wider) steps — recall-neutral in practice,
-    large wall-clock win for the batched query path."""
+    large wall-clock win for the batched query path.
+
+    ``scales``: when ``vecs`` is an int8 table (symmetric per-row
+    quantization), the per-row dequant scales. The beam loop is bound
+    by the random row gathers of neighbour vectors; int8 halves the
+    gathered bytes vs bf16. Ranking-only — callers f32-rescore."""
     q_n, d = queries.shape
     n_pad, deg = adj.shape
     e = max(1, min(expand_per_step, ef))
 
-    # navigation runs in the vector table's dtype: a bf16 table halves
-    # the HBM traffic of the (Q, m, d) gathers that dominate this loop
-    q_nav = queries.astype(vecs.dtype)
+    # navigation runs in the vector table's dtype: a bf16/int8 table
+    # cuts the HBM traffic of the (Q, m, d) gathers dominating this loop
+    is_int8 = vecs.dtype == jnp.int8
+    q_nav = queries.astype(jnp.bfloat16 if is_int8 else vecs.dtype)
 
     def dist_to(ids):
         # ids (Q, m) -> (Q, m) cosine distances; -1 -> +inf
-        v = jnp.take(vecs, jnp.clip(ids, 0, n_pad - 1), axis=0)  # (Q, m, d)
+        safe = jnp.clip(ids, 0, n_pad - 1)
+        v = jnp.take(vecs, safe, axis=0)  # (Q, m, d)
+        if is_int8:
+            v = v.astype(jnp.bfloat16)
         dots = jnp.einsum(
             "qmd,qd->qm", v, q_nav,
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
+        if is_int8:
+            dots = dots * jnp.take(scales, safe, axis=0)
         return jnp.where(ids >= 0, 1.0 - dots, _BIG)
 
     entry = entry.astype(jnp.int32)

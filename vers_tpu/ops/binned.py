@@ -22,7 +22,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from vers_tpu.core import round_up
+from vers_tpu.core import round_up, to_device
 from vers_tpu.ops.distance import pairwise_distance
 from vers_tpu.ops.topk import topk_smallest
 
@@ -50,7 +50,7 @@ def make_layout(values: np.ndarray, bin_ids: np.ndarray, num_bins: int) -> Dict:
     rbin = np.full((n_pad,), -1, np.int32)
     rbin[:n] = np.repeat(np.arange(num_bins, dtype=np.int32), sizes)
     return dict(
-        corpus_sorted=jnp.asarray(corpus_sorted),
+        corpus_sorted=to_device(corpus_sorted),
         sorted_to_orig=jnp.asarray(sorted_to_orig),
         start=jnp.asarray(starts),
         size=jnp.asarray(sizes),

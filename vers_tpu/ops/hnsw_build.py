@@ -39,7 +39,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from vers_tpu.core import round_up
+from vers_tpu.core import round_up, to_device
 from vers_tpu.ops.topk import topk_smallest
 
 _INF = jnp.inf
@@ -273,7 +273,7 @@ def build_graph(
     ins[0] = num_layers - 1  # first node joins every layer (hnsw.rs:417-429)
 
     n_pad = round_up(n, 128)
-    vecs = jnp.asarray(np.pad(vectors, ((0, n_pad - n), (0, 0))))
+    vecs = to_device(np.pad(vectors, ((0, n_pad - n), (0, 0))))
 
     # per-layer compact rows
     rank_maps = []
