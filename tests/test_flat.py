@@ -44,3 +44,21 @@ def test_flat_topk_larger_than_corpus(rng):
     res = idx.search_batch(x[:2], 10)
     assert res.ids.shape == (2, 10)
     assert (res.ids[:, 5:] == -1).all()
+
+
+def test_flat_engine_options():
+    """config.engine routes to the approx / bucket scans; results stay
+    near-exact on a small corpus."""
+    from vers_tpu.config import FlatConfig
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(700, 48)).astype(np.float32)
+    exact = FlatIndex.build_index(x).search_batch(x[:32], 10)
+    for engine in ("approx", "bucket"):
+        idx = FlatIndex.build_index(x, config=FlatConfig(engine=engine))
+        got = idx.search_batch(x[:32], 10)
+        assert got.ids[0][0] == 0  # self-hit survives every engine
+        overlap = sum(
+            len(set(exact.ids[i]) & set(got.ids[i])) for i in range(32)
+        ) / (32 * 10)
+        assert overlap > 0.9, (engine, overlap)

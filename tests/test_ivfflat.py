@@ -86,3 +86,37 @@ def test_add_batch(built):
     assert got[0][0] == n_before + 3
     res = idx.search_batch(new, 1, nprobe=2)
     assert (res.ids[:, 0] == np.arange(n_before, n_before + 7)).sum() >= 6
+
+
+def test_build_index_device_matches_host_build():
+    """build_index_device == build_index end to end: same k-means seed,
+    same layout ordering, same batched/single-query results; host state
+    materializes lazily for add/save."""
+    import jax.numpy as jnp
+    from vers_tpu.core import round_up
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(500, 32)).astype(np.float32)
+    host_idx = IVFFlatIndex.build_index(8, 2, 5, x)
+    n_pad = round_up(500, 128)
+    dev = jnp.asarray(np.pad(x, ((0, n_pad - 500), (0, 0))))
+    dev_idx = IVFFlatIndex.build_index_device(8, 2, 5, dev, n_valid=500)
+
+    q = x[:16]
+    a = host_idx.search_batch(q, 5, nprobe=2)
+    b = dev_idx.search_batch(q, 5, nprobe=2)
+    np.testing.assert_array_equal(a.ids, b.ids)
+    np.testing.assert_allclose(a.distances, b.distances, atol=1e-4)
+
+    # single-query parity path triggers lazy host materialization
+    pa = host_idx.search_approximate(x[3], 5)
+    pb = dev_idx.search_approximate(x[3], 5)
+    assert [i for i, _ in pa] == [i for i, _ in pb]
+
+    # save/load round-trip from a device-built index
+    import tempfile, os
+    p = os.path.join(tempfile.gettempdir(), "dev_built.index")
+    dev_idx.save_index(p)
+    re = IVFFlatIndex.load_index(p, dim=32)
+    rb = re.search_batch(q, 5, nprobe=2)
+    np.testing.assert_array_equal(a.ids, rb.ids)

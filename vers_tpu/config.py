@@ -21,6 +21,12 @@ class FlatConfig:
     metric: str = "sq_euclidean"  # or "cosine"
     dtype: str = "float32"  # compute dtype for the distance matmul
     chunk_size: int = 16384  # corpus rows per fused-scan step
+    # Search engine: "exact" (Pallas fused scan / XLA fallback, exact
+    # top-k), "approx" (lax.approx_min_k scan, recall ~0.99), "bucket"
+    # (bucket-min Pallas scan, fastest at large N, recall ~0.99; pass
+    # bucket_rescore for exact f32 distances at ~0.999 recall).
+    engine: str = "exact"
+    bucket_rescore: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -84,8 +90,9 @@ class HNSWConfig:
     # symmetric per-row quantization; final top-k is f32-rescored).
     nav_dtype: str = "bfloat16"
     # Beam width for the routing layers (> 0). The reference uses
-    # ef_search on every layer (`hnsw.rs:526-536`); a narrow routing
-    # beam only has to land the entry point for the layer below, so a
-    # small value trades negligible recall for a large wall-clock win.
-    # None -> use ef_search everywhere (reference behavior).
-    ef_route: Optional[int] = None
+    # ef_search on every layer (`hnsw.rs:526-536`), but routing only
+    # has to land the entry point for the layer below. Measured on TPU
+    # (20k x 300, ef 16/32/64): recall@10 identical to the full-width
+    # beam, 1.3-2.1x faster. None -> ef_search everywhere (reference
+    # behavior). See PARITY.md D13.
+    ef_route: Optional[int] = 8

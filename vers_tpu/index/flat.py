@@ -55,10 +55,28 @@ class FlatIndex(Index):
         """Device-resident search: returns (dists (Q,k) f32, rows (Q,k)
         int32) as jax arrays, rows being corpus positions (== external
         ids unless custom ids were supplied). No host transfer — the
-        throughput path for pipelined serving."""
+        throughput path for pipelined serving.
+
+        Engine selected by ``config.engine``: "exact" | "approx" |
+        "bucket" (see FlatConfig)."""
+        import jax
+
         queries = as_query_matrix(queries)
         n = self._store.count
         k_eff = max(1, min(top_k, self._store.capacity))
+        engine = self.config.engine
+        if engine == "bucket":
+            from vers_tpu.ops.pallas_bucket import bucket_scan_topk
+
+            return bucket_scan_topk(
+                queries,
+                self._store.data,
+                n,
+                k_eff,
+                metric=self.config.metric,
+                rescore=self.config.bucket_rescore,
+                interpret=jax.default_backend() != "tpu",
+            )
         return distance_topk(
             queries,
             self._store.data,
@@ -66,6 +84,7 @@ class FlatIndex(Index):
             k_eff,
             metric=self.config.metric,
             chunk_size=self.config.chunk_size,
+            force="approx" if engine == "approx" else None,
         )
 
     def search_batch(self, queries, top_k: int) -> SearchResult:

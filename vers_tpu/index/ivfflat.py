@@ -38,6 +38,7 @@ from vers_tpu.ops.binned import (
     binned_topk_fused,
     binned_topk_pallas,
     make_layout,
+    make_layout_device,
 )
 from vers_tpu.ops.pallas_topk import MAX_PALLAS_K
 from vers_tpu.ops.distance import pairwise_sq_euclidean
@@ -71,6 +72,9 @@ class IVFFlatIndex(Index):
         self.dim = self._values.shape[1]
         self._layout = None  # lazy cluster-major device layout
         self._centroids_dev = None
+        self._values_dev = None
+        self._assign_dev = None
+        self._n_valid = self._values.shape[0]
 
     # -- build ---------------------------------------------------------
 
@@ -107,8 +111,72 @@ class IVFFlatIndex(Index):
             num_clusters, vectors, np.asarray(centroids), assignments, ids, config
         )
 
+    @classmethod
+    def build_index_device(
+        cls,
+        num_clusters: int,
+        num_attempts: int,
+        max_iterations: int,
+        data_dev: jnp.ndarray,
+        n_valid: Optional[int] = None,
+        config: Optional[IVFFlatConfig] = None,
+    ) -> "IVFFlatIndex":
+        """Build from a device-resident (n_pad, d) corpus: k-means,
+        assignment, and the cluster-major search layout all stay on
+        device; the host sees only the (k,) size vector. Host-side
+        state (values/assignments/ids for add/save/single-query paths)
+        materializes lazily on first use.
+
+        The host-input ``build_index`` uploads then defers to the same
+        ops; this entry point skips the round-trip entirely for data
+        produced on device (sharded loaders, on-device transforms)."""
+        config = config or IVFFlatConfig(
+            num_clusters=num_clusters,
+            num_attempts=num_attempts,
+            max_iterations=max_iterations,
+        )
+        n_pad, d = data_dev.shape
+        n = int(n_valid) if n_valid is not None else n_pad
+        key = jax.random.PRNGKey(config.seed)
+        centroids_dev, _ = kmeans_ops.build_kmeans_restarts(
+            key, data_dev, n, num_clusters, num_attempts, max_iterations
+        )
+        assign_dev = kmeans_ops.assign_clusters(data_dev, n, centroids_dev)
+        layout = make_layout_device(data_dev, assign_dev, num_clusters, n)
+        idx = cls.__new__(cls)
+        idx.config = config
+        idx.num_centroids = int(num_clusters)
+        idx._values = None
+        idx._centroids = None
+        idx._assignments = None
+        idx._ids = None
+        idx._values_dev = data_dev
+        idx._assign_dev = assign_dev
+        idx._n_valid = n
+        idx.dim = int(d)
+        idx._layout = layout
+        idx._centroids_dev = centroids_dev
+        return idx
+
+    def _materialize_host(self):
+        """Download device-built state for the host-side paths (add,
+        save_index, single-query parity search). No-op for host-built
+        indexes."""
+        if self._values is not None:
+            return
+        self._values = np.asarray(self._values_dev)[: self._n_valid]
+        self._centroids = np.asarray(self._centroids_dev)
+        self._assignments = np.asarray(self._assign_dev)[: self._n_valid].astype(
+            np.int64
+        )
+        ids: List[List[int]] = [[] for _ in range(self.num_centroids)]
+        for vec_id, c in enumerate(self._assignments):
+            ids[int(c)].append(vec_id)
+        self._ids = ids
+
     def _ensure_layout(self):
         if self._layout is None:
+            self._materialize_host()
             self._layout = make_layout(
                 self._values, self._assignments, self.num_centroids
             )
@@ -120,6 +188,7 @@ class IVFFlatIndex(Index):
     def add(self, embedding, vec_id: int) -> None:
         """Quirk parity with `ivfflat.rs:200-213`: the caller's vec_id is
         ignored; the new row gets id == len(assignments)."""
+        self._materialize_host()
         emb = np.asarray(embedding, dtype=np.float32).reshape(-1)
         d2 = np.sum((self._centroids - emb[None, :]) ** 2, axis=1)
         c = int(np.argmin(d2))
@@ -128,11 +197,13 @@ class IVFFlatIndex(Index):
         self._assignments = np.append(self._assignments, c)
         self._ids[c].append(new_id)
         self._layout = None  # invalidate cluster-major layout
+        self._values_dev = None
 
     def add_batch(self, embeddings, vec_ids=None) -> None:
         """Vectorized bulk insert: one assignment pass, one layout
         rebuild. Caller vec_ids are ignored (same quirk parity as
         ``add``: new rows get sequential ids)."""
+        self._materialize_host()
         embs = np.asarray(embeddings, dtype=np.float32)
         if embs.ndim == 1:
             embs = embs[None]
@@ -148,6 +219,7 @@ class IVFFlatIndex(Index):
         for i, c in enumerate(assign):
             self._ids[int(c)].append(base + i)
         self._layout = None
+        self._values_dev = None
 
     def search_batch_device(
         self, queries, top_k: int, nprobe: Optional[int] = None
@@ -186,6 +258,7 @@ class IVFFlatIndex(Index):
         """Behavioral parity with the adaptive cluster walk
         (`ivfflat.rs:153-198`): scan clusters nearest-first, take at most
         top_k from each, stop once top_k candidates are collected."""
+        self._materialize_host()
         q = np.asarray(query, dtype=np.float32).reshape(-1)
         cd = np.sum((self._centroids - q[None, :]) ** 2, axis=1)
         nearest = np.argsort(cd, kind="stable")
@@ -214,6 +287,7 @@ class IVFFlatIndex(Index):
     # -- persistence (bincode parity: `ivfflat.rs:8-15` field order) ----
 
     def save_index(self, file_path: str) -> None:
+        self._materialize_host()
         with open(file_path, "wb") as fp:
             w = Writer(fp)
             w.u64(self.num_centroids)

@@ -62,6 +62,54 @@ def make_layout(values: np.ndarray, bin_ids: np.ndarray, num_bins: int) -> Dict:
     )
 
 
+def make_layout_device(
+    values_dev: jnp.ndarray,
+    bin_ids_dev: jnp.ndarray,
+    num_bins: int,
+    n_valid: int,
+) -> Dict:
+    """``make_layout`` for device-resident data: the corpus never
+    touches the host (only the (num_bins,) size vector is downloaded
+    for tile planning). ``values_dev`` is (n_pad, d) on device;
+    ``bin_ids_dev`` (n_pad,) int32 (entries >= n_valid ignored).
+
+    Exists because host<->device round-trips of a large corpus are
+    pure overhead when data was produced on device (sharded loads,
+    on-device transforms) — and pathological on remote-tunneled
+    clients."""
+    n_pad = values_dev.shape[0]
+    rows = jnp.arange(n_pad, dtype=jnp.int32)
+    # padding rows sort last as pseudo-bin num_bins
+    ids = jnp.where(
+        rows < n_valid, bin_ids_dev.astype(jnp.int32), num_bins
+    )
+    order = jnp.argsort(ids, stable=True).astype(jnp.int32)
+    corpus_sorted = jnp.take(values_dev, order, axis=0)
+    ids_sorted = jnp.take(ids, order)
+    sizes_all = jnp.zeros((num_bins + 1,), jnp.int32).at[ids].add(1)
+    sizes = sizes_all[:num_bins]
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(sizes)[:-1].astype(jnp.int32)]
+    )
+    rbin = jnp.where(ids_sorted == num_bins, -1, ids_sorted)
+    sorted_to_orig = jnp.where(rbin >= 0, order, -1)
+    sizes_host = np.asarray(sizes)  # (num_bins,) i32 — tiny download
+    starts_host = np.concatenate([[0], np.cumsum(sizes_host)[:-1]]).astype(
+        np.int32
+    )
+    return dict(
+        corpus_sorted=corpus_sorted,
+        sorted_to_orig=sorted_to_orig,
+        start=starts,
+        size=sizes,
+        rbin=rbin,
+        sizes_host=sizes_host,
+        starts_host=starts_host,
+        max_bin=int(sizes_host.max()) if n_valid else 1,
+        num_bins=num_bins,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("top_k", "q_blk", "r_blk", "metric", "use_approx", "precision"),

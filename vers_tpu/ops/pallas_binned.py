@@ -75,14 +75,17 @@ def padded_forest_layout(layout: Dict, r_blk: int, bounds) -> Dict:
     sizes = layout["sizes_host"]
     starts = layout["starts_host"]
     k = len(sizes)
-    corpus = np.asarray(layout["corpus_sorted"])
-    rbin = np.asarray(layout["rbin"])
-    s2o = np.asarray(layout["sorted_to_orig"])
-    d = corpus.shape[1]
+    corpus_dev = layout["corpus_sorted"]
+    n_src = corpus_dev.shape[0]
+    d = corpus_dev.shape[1]
     d_pad = round_up(d, 128)
-    xp = np.zeros((n_groups * r_blk, d_pad), np.float32)
-    rb = np.full((n_groups * r_blk,), -1, np.int32)
-    so = np.full((n_groups * r_blk,), -1, np.int32)
+
+    # Build only the (n_groups * r_blk,) source-row map on host (group
+    # tables are k-sized); the corpus itself is regrouped with ONE
+    # device gather. The previous host materialization downloaded and
+    # re-uploaded the whole corpus (~GBs at 1M rows) around a python
+    # per-group copy loop.
+    src = np.full((n_groups * r_blk,), -1, np.int64)
     g = 0
     for fi, ri in tables:
         for j in range(len(ri)):
@@ -92,16 +95,23 @@ def padded_forest_layout(layout: Dict, r_blk: int, bounds) -> Dict:
                 int(starts[-1] + sizes[-1]) if k else 0
             )
             span = min(hi - lo, r_blk)
-            xp[g * r_blk : g * r_blk + span, :d] = corpus[lo : lo + span]
-            rb[g * r_blk : g * r_blk + span] = rbin[lo : lo + span]
-            so[g * r_blk : g * r_blk + span] = s2o[lo : lo + span]
+            src[g * r_blk : g * r_blk + span] = np.arange(lo, lo + span)
             g += 1
-    xx = np.sum(xp.astype(np.float64) ** 2, axis=1).astype(np.float32)
+    srcd = jnp.asarray(src, jnp.int32)
+    safe = jnp.clip(srcd, 0, n_src - 1)
+    live = (srcd >= 0)[:, None]
+    xs = corpus_dev
+    if d_pad != d:
+        xs = jnp.pad(xs, ((0, 0), (0, d_pad - d)))
+    xp = jnp.where(live, jnp.take(xs, safe, axis=0), 0.0)
+    rb = jnp.where(srcd >= 0, jnp.take(layout["rbin"], safe), -1)
+    so = jnp.where(srcd >= 0, jnp.take(layout["sorted_to_orig"], safe), -1)
+    xx = jnp.sum(xp.astype(jnp.float32) ** 2, axis=1)
     out = dict(
-        corpus=jnp.asarray(xp),
-        rbin=jnp.asarray(rb[None, :]),
-        s2o=jnp.asarray(so),
-        xx=jnp.asarray(xx[None, :]),
+        corpus=xp,
+        rbin=rb[None, :],
+        s2o=so,
+        xx=xx[None, :],
         g_first=jnp.asarray(g_first_stacked),
         g_base=tuple(int(b) for b in g_base[:-1]),
         n_groups=n_groups,
