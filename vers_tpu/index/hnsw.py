@@ -318,9 +318,12 @@ class HNSWIndex(Index):
 
         index = cls(ef_construction, ef_search, num_layers, num_neighbours, seed=seed)
         vectors = np.asarray(vectors, dtype=np.float32)
-        for idx_, vec in enumerate(vectors):
-            index._set_vec(idx_, vec)
         if vectors.size:
+            # bulk vector table install (the per-row _set_vec loop is
+            # O(n) python calls — material at 100k+)
+            index._vecs = vectors.copy()
+            index._rows_used = vectors.shape[0]
+            index._id_row = {i: i for i in range(vectors.shape[0])}
             index.dim = vectors.shape[1]
         _, out_layers = build_graph(
             vectors, num_layers, ef_construction, num_neighbours,

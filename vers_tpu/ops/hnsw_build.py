@@ -290,7 +290,11 @@ def build_graph(
         # +1: the heuristic admits m+1 (quirk parity)
         deg = (2 * m if l == 0 else m) + 1
         degs.append(deg)
-        rows = round_up(max(len(mem), 1), 8)
+        # power-of-2 rows: layer membership counts vary per dataset, so
+        # exact-size buffers would recompile wave_step for every corpus;
+        # pow2 rounding keeps jit shapes stable across datasets (≤2x
+        # memory on the small upper layers)
+        rows = max(8, 1 << (max(len(mem), 1) - 1).bit_length())
         adjs.append(jnp.full((rows, deg + slack), -1, jnp.int32))
         dists.append(jnp.full((rows, deg + slack), np.inf, jnp.float32))
 

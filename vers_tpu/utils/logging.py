@@ -27,7 +27,13 @@ def index_stats(index) -> dict:
         stats["num_nodes_per_layer"] = index.get_num_nodes_in_layers()
     if hasattr(index, "num_centroids"):
         stats["num_centroids"] = index.num_centroids
-        stats["cluster_sizes"] = [len(c) for c in index._ids]
+        if getattr(index, "_ids", None) is not None:
+            stats["cluster_sizes"] = [len(c) for c in index._ids]
+        elif getattr(index, "_layout", None) is not None:
+            # device-built index: sizes known without host materialization
+            stats["cluster_sizes"] = [
+                int(s) for s in index._layout["sizes_host"]
+            ]
     if hasattr(index, "_trees"):
         stats["num_trees"] = len(index._trees)
         stats["buckets_per_tree"] = [t.num_buckets for t in index._trees]
