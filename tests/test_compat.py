@@ -57,3 +57,35 @@ def test_embeddings_mapping():
     assert len(e) == 2
     np.testing.assert_array_equal(e.get("b"), [0.0, 1.0])
     assert e.word_of(0) == "a"
+
+
+def test_vers_py_module_functions(tmp_path):
+    """Parity with the vers_py module functions
+    (`vers-py/src/lib.rs:125-186`): load_wiki_vector 4-tuple,
+    test_wiki_ivfflat harness, get_sum toy add."""
+    import os
+    import numpy as np
+    from vers_tpu.compat import get_sum, load_wiki_vector, test_wiki_ivfflat
+    from vers_tpu.utils.data import synthetic_words_dataset, write_vec_file
+
+    words, embs = synthetic_words_dataset(n_words=300, dim=32, seed=0)
+    path = str(tmp_path / "mini.vec")
+    write_vec_file(path, words, embs)
+
+    vectors, w2i, i2w, test_embs = load_wiki_vector(path, dim=32)
+    assert "queen" not in w2i and len(test_embs) == 1
+    assert abs(float(np.linalg.norm(vectors[0])) - 1.0) < 1e-5
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        out = test_wiki_ivfflat(vectors, w2i, i2w, 8, 1, 5, test_embs)
+    finally:
+        os.chdir(cwd)
+    assert any(w in ("queen", "king", "kings", "royal", "monarch",
+                     "empress", "queens", "reign", "emperor", "crown",
+                     "prince", "ruler", "kingdom", "princess", "throne")
+               for w, _ in out[:3])
+
+    s = get_sum(np.ones(300, np.float32), np.full(300, 2.0, np.float32))
+    assert s.shape == (300,) and float(s[0]) == 3.0

@@ -174,3 +174,49 @@ class IVFFlat(_ReadmeIndex):
 
         k, a, it = self._params
         return IVFFlatIndex.build_index(k, a, it, vectors)
+
+
+# -- vers_py module-function parity (vers-py/src/lib.rs:125-186) -------
+
+
+def load_wiki_vector(path: str, dim: int = 300):
+    """`vers_py.load_wiki_vector` parity (`vers-py/src/lib.rs:126-141`):
+    returns (vectors, word_to_idx, idx_to_word, test_embs) exactly like
+    the PyO3 function — vectors normalized with the queen holdout raw in
+    test_embs."""
+    from vers_tpu.utils.data import load_wiki_vector as _load
+
+    return _load(path, dim=dim)
+
+
+def test_wiki_ivfflat(
+    vectors,
+    word_to_idx,
+    idx_to_word,
+    num_clusters: int,
+    num_attempts: int,
+    max_iterations: int,
+    test_embs,
+):
+    """`vers_py.test_wiki_ivfflat` parity (`vers-py/src/lib.rs:144-170`):
+    build an IVFFlat index and run the queen smoke harness (the shim
+    wraps `utils::test_ivfflat`, which is `run_test` + build)."""
+    from vers_tpu.index.ivfflat import IVFFlatIndex
+    from vers_tpu.utils.harness import run_test
+
+    vectors = np.asarray(vectors, dtype=np.float32)
+    index = IVFFlatIndex.build_index(
+        num_clusters, num_attempts, max_iterations, vectors
+    )
+    return run_test(
+        index, "ivfflat.index", vectors, dict(word_to_idx),
+        dict(idx_to_word), test_embs,
+    )
+
+
+def get_sum(v1, v2) -> np.ndarray:
+    """`vers_py.get_sum` parity (`vers-py/src/lib.rs:173-177`):
+    elementwise vector add (the crate's toy FFI smoke function)."""
+    return (
+        np.asarray(v1, dtype=np.float32) + np.asarray(v2, dtype=np.float32)
+    )
