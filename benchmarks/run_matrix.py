@@ -25,6 +25,19 @@ import time
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
+# Platform knobs (must land before first backend use): VERS_PLATFORM
+# selects the backend; VERS_CPU_DEVICES creates a virtual device mesh
+# for the sharded configs (config 5), e.g.
+#   VERS_PLATFORM=cpu VERS_CPU_DEVICES=8 python benchmarks/run_matrix.py --config 5
+if _os.environ.get("VERS_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["VERS_PLATFORM"])
+    if _os.environ.get("VERS_CPU_DEVICES"):
+        _jax.config.update(
+            "jax_num_cpu_devices", int(_os.environ["VERS_CPU_DEVICES"])
+        )
+
 import numpy as np
 
 
