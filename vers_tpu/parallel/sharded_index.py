@@ -70,21 +70,40 @@ class ShardedFlatIndex(Index):
         self._ids = np.append(self._ids, np.int64(vec_id))
         self._place()  # re-shard (bulk adds should batch)
 
-    def search_batch(self, queries, top_k: int) -> SearchResult:
-        queries = np.asarray(queries, dtype=np.float32)
+    def search_batch_device(self, queries, top_k: int):
+        """Device-resident sharded search: (dists (Q,k) f32, external
+        ids (Q,k) int32) jax arrays — the pipelined path (the id map
+        rides along on device)."""
+        if not isinstance(queries, jax.Array):
+            queries = jnp.asarray(np.asarray(queries, dtype=np.float32))
         if queries.ndim == 1:
             queries = queries[None]
         d, i = sharded_topk(
-            jnp.asarray(queries),
+            queries,
             self._data,
             self._counts,
             top_k,
             self.mesh,
             metric=self.metric,
         )
-        i = np.asarray(i)
-        ids = np.where(i >= 0, self._row_to_id[np.clip(i, 0, None)], -1)
-        return SearchResult(ids=ids.astype(np.int64), distances=np.asarray(d))
+        cached = getattr(self, "_row_to_id_dev", None)
+        if cached is None or cached[0] is not self._row_to_id:
+            self._row_to_id_dev = (
+                self._row_to_id,
+                jnp.asarray(self._row_to_id, jnp.int32),
+            )
+            cached = self._row_to_id_dev
+        idmap = cached[1]
+        ids = jnp.where(
+            i >= 0, jnp.take(idmap, jnp.clip(i, 0, idmap.shape[0] - 1)), -1
+        )
+        return d, ids
+
+    def search_batch(self, queries, top_k: int) -> SearchResult:
+        d, ids = self.search_batch_device(queries, top_k)
+        return SearchResult(
+            ids=np.asarray(ids).astype(np.int64), distances=np.asarray(d)
+        )
 
     # -- sharded persistence -------------------------------------------
 
