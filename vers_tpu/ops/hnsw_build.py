@@ -54,14 +54,20 @@ def draw_insertion_layers(n: int, num_layers: int, m: int, seed: int) -> np.ndar
     return np.minimum((-np.log(u) * mult).astype(np.int64), num_layers - 1)
 
 
-def _beam(q, vecs, adj, rank_map, entry, ef: int, max_steps: int):
+def _beam(q, vecs, adj, rank_map, entry, ef: int, max_steps: int,
+          expand: int = 4):
     """Masked beam search over one layer. ``adj`` rows are compact
     (layer-local); ``rank_map`` (n_pad,) maps global id -> compact row
     (-1 absent). Entry (W,) global ids. Returns (beam_d, beam_i)
-    ascending, beam_i global ids (-1 pad)."""
+    ascending, beam_i global ids (-1 pad).
+
+    ``expand``: best unexpanded entries expanded per step (same
+    widened frontier as the query beam, `ops/beam.py` — ~expand× fewer
+    while_loop iterations, recall-neutral in practice)."""
     w, d = q.shape
     n_pad = vecs.shape[0]
     deg = adj.shape[1]
+    e = max(1, min(expand, ef))
 
     def dist_to(ids):
         v = jnp.take(vecs, jnp.clip(ids, 0, n_pad - 1), axis=0)
@@ -71,6 +77,7 @@ def _beam(q, vecs, adj, rank_map, entry, ef: int, max_steps: int):
     beam_i = jnp.full((w, ef), -1, jnp.int32).at[:, 0].set(entry.astype(jnp.int32))
     beam_d = jnp.full((w, ef), _INF).at[:, 0].set(dist_to(entry[:, None])[:, 0])
     expanded = jnp.zeros((w, ef), bool)
+    col = jax.lax.broadcasted_iota(jnp.int32, (w, ef), 1)
 
     def cond(state):
         step, _, _, _, active = state
@@ -79,22 +86,38 @@ def _beam(q, vecs, adj, rank_map, entry, ef: int, max_steps: int):
     def body(state):
         step, beam_d, beam_i, expanded, _ = state
         rank = jnp.where(expanded | (beam_i < 0), _INF, beam_d)
-        pick = jnp.argmin(rank, axis=1)
-        has = jnp.take_along_axis(rank, pick[:, None], axis=1)[:, 0] < _INF
-        node = jnp.take_along_axis(beam_i, pick[:, None], axis=1)[:, 0]
-        col = jax.lax.broadcasted_iota(jnp.int32, (w, ef), 1)
-        expanded = expanded | ((col == pick[:, None]) & has[:, None])
+        pick_d, pick = topk_smallest(rank, e)               # (W, E)
+        has = pick_d < _INF
+        nodes = jnp.where(
+            has, jnp.take_along_axis(beam_i, pick, axis=1), -1
+        )
+        onehot = jnp.any(
+            (col[:, None, :] == pick[:, :, None]) & has[:, :, None], axis=1
+        )
+        expanded = expanded | onehot
 
-        row = jnp.take(rank_map, jnp.clip(node, 0, n_pad - 1))
-        nbrs = jnp.take(adj, jnp.clip(row, 0, adj.shape[0] - 1), axis=0)
-        nbrs = jnp.where((has & (row >= 0))[:, None], nbrs, -1)
+        rows = jnp.take(rank_map, jnp.clip(nodes, 0, n_pad - 1))
+        nbrs = jnp.take(
+            adj, jnp.clip(rows, 0, adj.shape[0] - 1), axis=0
+        )                                                    # (W, E, deg)
+        nbrs = jnp.where(
+            (has & (rows >= 0))[:, :, None], nbrs, -1
+        ).reshape(w, e * deg)
         nd = dist_to(nbrs)
-        dup = jnp.any(nbrs[:, :, None] == beam_i[:, None, :], axis=2) & (nbrs >= 0)
-        nd = jnp.where(dup, _INF, nd)
+        dup_beam = jnp.any(nbrs[:, :, None] == beam_i[:, None, :], axis=2)
+        ncol = jax.lax.broadcasted_iota(jnp.int32, (e * deg, e * deg), 1)
+        nrow = jax.lax.broadcasted_iota(jnp.int32, (e * deg, e * deg), 0)
+        dup_self = jnp.any(
+            (nbrs[:, :, None] == nbrs[:, None, :]) & (ncol < nrow)[None],
+            axis=2,
+        )
+        nd = jnp.where((dup_beam | dup_self) & (nbrs >= 0), _INF, nd)
 
         cat_d = jnp.concatenate([beam_d, nd], axis=1)
         cat_i = jnp.concatenate([beam_i, nbrs], axis=1)
-        cat_e = jnp.concatenate([expanded, jnp.zeros((w, deg), bool)], axis=1)
+        cat_e = jnp.concatenate(
+            [expanded, jnp.zeros((w, e * deg), bool)], axis=1
+        )
         new_d, sel = topk_smallest(cat_d, ef)
         new_i = jnp.take_along_axis(cat_i, sel, axis=1)
         new_e = jnp.take_along_axis(cat_e, sel, axis=1)
