@@ -284,19 +284,31 @@ def build_graph(
     seed: int = 0,
     wave_cap: int = 1024,
     slack: int | None = None,
+    n_valid: int | None = None,
 ):
     """Run the full batched build. Returns (ins_layers (n,), per-layer
-    adjacency dict {global_id: [(nbr_global_id, dist), ...]})."""
-    vectors = np.asarray(vectors, dtype=np.float32)
-    n, d = vectors.shape
+    adjacency dict {global_id: [(nbr_global_id, dist), ...]}).
+
+    ``vectors`` may be a device-resident jax array (already padded to a
+    row multiple of 128); pass ``n_valid`` for the live row count then.
+    Host input is uploaded in bounded slices."""
+    if isinstance(vectors, jax.Array):
+        n_pad = vectors.shape[0]
+        n = int(n_valid) if n_valid is not None else n_pad
+        vecs = vectors
+    else:
+        vectors = np.asarray(vectors, dtype=np.float32)
+        n, d_ = vectors.shape
+        n_pad = round_up(max(n, 1), 128)
+        vecs = None
     if n == 0:
         return np.zeros((0,), np.int64), [dict() for _ in range(num_layers)]
     slack = slack if slack is not None else max(m, 8)
     ins = draw_insertion_layers(n, num_layers, m, seed)
     ins[0] = num_layers - 1  # first node joins every layer (hnsw.rs:417-429)
 
-    n_pad = round_up(n, 128)
-    vecs = to_device(np.pad(vectors, ((0, n_pad - n), (0, 0))))
+    if vecs is None:
+        vecs = to_device(np.pad(vectors, ((0, n_pad - n), (0, 0))))
 
     # per-layer compact rows
     rank_maps = []
