@@ -161,21 +161,27 @@ def main():
     centroids = index._centroids
     members = [np.asarray(m, dtype=np.int64) for m in index._ids]
     values = index._values
-    t0 = time.perf_counter()
-    for qi in range(n_cpu):
-        qv = queries[qi]
-        cd = np.sum((centroids - qv[None, :]) ** 2, axis=1)
-        order = np.argsort(cd)
-        got = 0
-        ci = 0
-        while got < TOP_K and ci < len(order):
-            m = members[order[ci]]
-            if len(m):
-                d2 = np.sum((values[m] - qv[None, :]) ** 2, axis=1)
-                take = np.argsort(d2)[:TOP_K]
-                got += len(take)
-            ci += 1
-    cpu_qps = n_cpu / (time.perf_counter() - t0)
+
+    def proxy_pass():
+        t0 = time.perf_counter()
+        for qi in range(n_cpu):
+            qv = queries[qi]
+            cd = np.sum((centroids - qv[None, :]) ** 2, axis=1)
+            order = np.argsort(cd)
+            got = 0
+            ci = 0
+            while got < TOP_K and ci < len(order):
+                m = members[order[ci]]
+                if len(m):
+                    d2 = np.sum((values[m] - qv[None, :]) ** 2, axis=1)
+                    take = np.argsort(d2)[:TOP_K]
+                    got += len(take)
+                ci += 1
+        return time.perf_counter() - t0
+
+    # best of two passes: the first warms page/dcache on the 1-core
+    # host, whose cold-state variance otherwise swings the ratio 4-5x
+    cpu_qps = n_cpu / min(proxy_pass(), proxy_pass())
     log(f"cpu reference proxy: {cpu_qps:.0f} qps")
 
     ratio = qps / max(cpu_qps, 1e-9)
