@@ -106,3 +106,30 @@ def test_superchunk_accumulation():
     got = np.asarray(bi)
     hits = sum(len(set(truth[i]) & set(got[i])) for i in range(truth.shape[0]))
     assert hits / truth.size > 0.8, hits / truth.size
+
+
+def test_pallas_topk_values_exact():
+    """The streaming value-merge kernel == lax.top_k on (Q, W) inputs,
+    including +inf padding and non-multiple widths."""
+    from vers_tpu.ops.pallas_topk import pallas_topk_values
+    from vers_tpu.ops.topk import topk_smallest
+
+    rng = np.random.default_rng(9)
+    vals = rng.normal(size=(40, 700)).astype(np.float32)
+    vals[3, 100:] = np.inf  # row with few finite entries
+    ids = rng.integers(0, 10_000, size=(40, 700)).astype(np.int32)
+    vd, vi = pallas_topk_values(
+        jnp.asarray(vals), jnp.asarray(ids), 8,
+        query_tile=16, chunk_size=256, interpret=True,
+    )
+    ed, sel = topk_smallest(jnp.asarray(vals), 8)
+    ei = np.take_along_axis(ids, np.asarray(sel), axis=1)
+    np.testing.assert_allclose(np.asarray(vd), np.asarray(ed))
+    # values equal => the carried ids must match row-wise as SETS per
+    # distinct value (tie order may differ between the two algorithms)
+    vd_np, vi_np = np.asarray(vd), np.asarray(vi)
+    ed_np = np.asarray(ed)
+    for r in range(40):
+        finite = np.isfinite(ed_np[r])
+        assert set(vi_np[r][finite].tolist()) == set(ei[r][finite].tolist())
+        assert (vi_np[r][~finite] == -1).all()
