@@ -102,3 +102,13 @@ def test_to_device_chunked_equals_direct():
     np.testing.assert_array_equal(
         np.asarray(to_device(v, max_chunk_bytes=128)), v
     )
+
+
+def test_from_device_chunked_equals_direct():
+    from vers_tpu.core import from_device
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(777, 32)).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(x), from_device(x, max_chunk_bytes=32 * 32)
+    )

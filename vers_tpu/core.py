@@ -62,6 +62,21 @@ def to_device(x: np.ndarray, max_chunk_bytes: int = 256 << 20) -> jnp.ndarray:
     return jnp.concatenate(parts, axis=0)
 
 
+def from_device(x: jnp.ndarray, max_chunk_bytes: int = 256 << 20) -> np.ndarray:
+    """Device->host transfer in bounded row slices (the download twin
+    of ``to_device`` — multi-GB single transfers are pathological on
+    remote-tunneled device clients in both directions)."""
+    nbytes = getattr(x, "nbytes", 0)
+    if x.ndim < 1 or nbytes <= max_chunk_bytes:
+        return np.asarray(x)
+    row_bytes = max(1, nbytes // max(1, x.shape[0]))
+    rows = max(1, max_chunk_bytes // row_bytes)
+    return np.concatenate(
+        [np.asarray(x[i:i + rows]) for i in range(0, x.shape[0], rows)],
+        axis=0,
+    )
+
+
 def pad_rows(x: jnp.ndarray, multiple: int = LANE, value: float = 0.0):
     """Pad axis 0 of ``x`` to a multiple of ``multiple``. Returns
     (padded, original_n)."""

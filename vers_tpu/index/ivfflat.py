@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from vers_tpu.config import IVFFlatConfig
-from vers_tpu.core import as_query_matrix, round_up, to_device
+from vers_tpu.core import as_query_matrix, from_device, round_up, to_device
 from vers_tpu.index.base import Index
 from vers_tpu.io.bincode import Reader, Writer
 from vers_tpu.models.candidates import SearchResult
@@ -164,7 +164,7 @@ class IVFFlatIndex(Index):
         indexes."""
         if self._values is not None:
             return
-        self._values = np.asarray(self._values_dev)[: self._n_valid]
+        self._values = from_device(self._values_dev)[: self._n_valid]
         self._centroids = np.asarray(self._centroids_dev)
         self._assignments = np.asarray(self._assign_dev)[: self._n_valid].astype(
             np.int64
