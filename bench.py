@@ -113,12 +113,47 @@ def main():
         if rec_ck >= TARGET_RECALL and t_ck < t_bucket:
             bucket_rec, t_bucket = rec_ck, t_ck
 
-    # IVFFlat build (jitted Lloyd, 2 restarts, 10 iters)
+    # IVFFlat build (jitted Lloyd, 2 restarts, 10 iters). The cold
+    # number includes the one-time XLA compile (dominant on a remote
+    # tunnel); the warm number is the steady-state rebuild cost a
+    # serving deployment actually pays, so report both.
     t0 = time.perf_counter()
     index = IVFFlatIndex.build_index(K_CLUSTERS, 2, 10, vectors)
     build_s = time.perf_counter() - t0
-    log(f"ivfflat build k={K_CLUSTERS}: {build_s:.2f}s")
+    log(f"ivfflat build k={K_CLUSTERS}: {build_s:.2f}s (cold, incl. compile)")
+    t0 = time.perf_counter()
+    IVFFlatIndex.build_index(K_CLUSTERS, 2, 10, vectors)._ensure_layout()
+    build_warm_s = time.perf_counter() - t0
+    log(f"ivfflat build k={K_CLUSTERS}: {build_warm_s:.2f}s (warm cache)")
     index._ensure_layout()
+
+    # CPU build proxy: single-threaded numpy re-enactment of the
+    # reference's Lloyd loop (`ivfflat.rs:73-100`: full assignment pass
+    # + per-vector centroid accumulation per iteration). Two iterations
+    # are timed and extrapolated to the same schedule the device build
+    # runs (2 restarts x 10 iterations).
+    def lloyd_iter(x, cent):
+        d2 = (
+            np.sum(x * x, 1)[:, None]
+            + np.sum(cent * cent, 1)[None, :]
+            - 2.0 * x @ cent.T
+        )
+        a = np.argmin(d2, 1)
+        newc = np.zeros_like(cent)
+        np.add.at(newc, a, x)
+        cnt = np.bincount(a, minlength=len(cent))
+        nz = cnt > 0
+        newc[nz] /= cnt[nz][:, None]
+        return newc
+
+    rng_c = np.random.default_rng(0)
+    cent0 = vectors[rng_c.choice(n, K_CLUSTERS, replace=False)].copy()
+    t0 = time.perf_counter()
+    cent1 = lloyd_iter(vectors, cent0)
+    lloyd_iter(vectors, cent1)
+    cpu_build_proxy_s = (time.perf_counter() - t0) / 2 * (2 * 10)
+    log(f"cpu build proxy (extrapolated 2x10 Lloyd iters): "
+        f"{cpu_build_proxy_s:.1f}s")
 
     # find the cheapest nprobe meeting the recall bar, then time it
     # (queries pre-placed on device: upload is not part of the timed path)
@@ -191,7 +226,9 @@ def main():
                 "metric": f"batched QPS @ recall@10>={TARGET_RECALL} "
                 f"(engine={engine}, n={n}, d={DIM}, k={K_CLUSTERS}, "
                 f"nprobe={nprobe}, recall={rec:.4f}, "
-                f"ivf_build_s={build_s:.2f})",
+                f"ivf_build_s={build_s:.2f}, "
+                f"ivf_build_warm_s={build_warm_s:.2f}, "
+                f"cpu_build_proxy_s={cpu_build_proxy_s:.1f})",
                 "value": round(qps, 1),
                 "unit": "qps",
                 "vs_baseline": round(ratio, 2),

@@ -120,3 +120,55 @@ def test_build_index_device_matches_host_build():
     re = IVFFlatIndex.load_index(p, dim=32)
     rb = re.search_batch(q, 5, nprobe=2)
     np.testing.assert_array_equal(a.ids, rb.ids)
+
+
+def test_adaptive_batched_nprobe_matches_walk_union(built):
+    """nprobe=0 batched = per-query adaptive probe depth (the walk's
+    stopping rule), exact top_k over the probed clusters' union."""
+    x, idx = built
+    top_k = 12
+    queries = x[:24]
+    res = idx.search_batch(queries, top_k)  # config default nprobe=0
+
+    layout = idx._ensure_layout()
+    sizes = np.asarray(layout["sizes_host"], np.int64)
+    cd = (
+        np.sum(queries**2, 1)[:, None]
+        + np.sum(idx._centroids**2, 1)[None, :]
+        - 2.0 * queries @ idx._centroids.T
+    )
+    for qi in range(len(queries)):
+        nearest = np.argsort(cd[qi], kind="stable")
+        got = 0
+        probed = []
+        for c in nearest:
+            probed.append(int(c))
+            got += min(int(sizes[c]), top_k)
+            if got >= top_k:
+                break
+        members = np.concatenate(
+            [np.asarray(idx._ids[c], np.int64) for c in probed if idx._ids[c]]
+        )
+        d2 = np.sum((idx._values[members] - queries[qi][None]) ** 2, axis=1)
+        want = set(members[np.argsort(d2, kind="stable")[:top_k]].tolist())
+        assert set(res.ids[qi].tolist()) == want
+
+
+def test_adaptive_probe_depth_tiny_clusters():
+    """Queries near tiny clusters keep probing until top_k candidates
+    are reachable (the fixed nprobe=1 path would return < top_k)."""
+    from vers_tpu.ops.binned import adaptive_probe_depth
+
+    rng = np.random.default_rng(0)
+    # 5 clusters of 3 members each, top_k=10 -> needs >= 4 probes
+    centers = np.eye(5, 16, dtype=np.float32) * 10
+    x = np.repeat(centers, 3, axis=0) + rng.normal(
+        size=(15, 16)
+    ).astype(np.float32) * 0.01
+    idx = IVFFlatIndex.build_index(5, 2, 10, x)
+    sizes = np.asarray(idx._ensure_layout()["sizes_host"])
+    assert adaptive_probe_depth(sizes, 10) >= 4
+    res = idx.search_batch(x[:4], 10)
+    assert (res.ids >= 0).all(axis=1).any()  # full top_k rows exist
+    for row in res.ids:
+        assert (row >= 0).sum() >= 10 or (row >= 0).sum() == 15

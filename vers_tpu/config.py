@@ -21,11 +21,14 @@ class FlatConfig:
     metric: str = "sq_euclidean"  # or "cosine"
     dtype: str = "float32"  # compute dtype for the distance matmul
     chunk_size: int = 16384  # corpus rows per fused-scan step
-    # Search engine: "exact" (Pallas fused scan / XLA fallback, exact
-    # top-k), "approx" (lax.approx_min_k scan, recall ~0.99), "bucket"
+    # Search engine: "auto" (alias of "exact" — a Flat index stays
+    # exact by default; the exact path already picks Pallas on TPU with
+    # an XLA fallback, so "auto" here mirrors the IVF/LSH knob),
+    # "exact" (Pallas fused scan / XLA fallback, exact top-k),
+    # "approx" (lax.approx_min_k scan, recall ~0.99), "bucket"
     # (bucket-min Pallas scan, fastest at large N, recall ~0.99; pass
     # bucket_rescore for exact f32 distances at ~0.999 recall).
-    engine: str = "exact"
+    engine: str = "auto"
     bucket_rescore: bool = False
 
 
@@ -39,9 +42,13 @@ class IVFFlatConfig:
     max_iterations: int = 10  # Lloyd iteration cap
     # The reference has no nprobe: its search adaptively scans more
     # clusters only while fewer than top_k candidates were found
-    # (`ivfflat.rs:166-195`). nprobe=0 selects that adaptive behavior;
-    # nprobe>=1 scans a fixed number of nearest clusters (better recall,
-    # and the BASELINE.json config 4 sweep).
+    # (`ivfflat.rs:166-195`). nprobe=0 selects that adaptive behavior:
+    # exactly on the single-query parity path (`search_approximate`),
+    # and on the batched path via per-query probe depth — each query
+    # probes just enough nearest clusters for their live-member sum
+    # (capped at top_k per cluster, like the walk) to reach top_k.
+    # nprobe>=1 scans a fixed number of nearest clusters for every
+    # query (the BASELINE.json config 4 sweep).
     nprobe: int = 0
     seed: int = 0
     dtype: str = "float32"

@@ -77,6 +77,24 @@ def from_device(x: jnp.ndarray, max_chunk_bytes: int = 256 << 20) -> np.ndarray:
     )
 
 
+def device_id_map(ids):
+    """Device-resident int32 copy of an internal-row -> external-id
+    map, or ``None`` when any id falls outside int32 range.
+
+    The bincode formats store external ids as u64 (`models.rs` /
+    `lsh.rs` serde layouts), so ids >= 2**31 are valid inputs; casting
+    them to int32 on device would silently wrap and return wrong ids.
+    Callers must fall back to host-side int64 mapping (or raise on the
+    device-resident path) when this returns None.
+    """
+    ids = np.asarray(ids)
+    if ids.size and (
+        int(ids.min()) < -(2**31) or int(ids.max()) > 2**31 - 1
+    ):
+        return None
+    return jnp.asarray(ids, jnp.int32)
+
+
 def pad_rows(x: jnp.ndarray, multiple: int = LANE, value: float = 0.0):
     """Pad axis 0 of ``x`` to a multiple of ``multiple``. Returns
     (padded, original_n)."""

@@ -52,13 +52,17 @@ class FlatIndex(Index):
         self._ids = np.append(self._ids, np.int64(vec_id))
 
     def search_batch_device(self, queries, top_k: int):
-        """Device-resident search: returns (dists (Q,k) f32, rows (Q,k)
-        int32) as jax arrays, rows being corpus positions (== external
-        ids unless custom ids were supplied). No host transfer — the
-        throughput path for pipelined serving.
+        """Device-resident search: returns (dists (Q,top_k) f32, rows
+        (Q,top_k) int32) as jax arrays, rows being corpus positions
+        (== external ids unless custom ids were supplied). Always
+        exactly top_k columns — when the corpus is smaller than top_k
+        the tail is (inf, -1) padded, matching the other indexes'
+        device-path contract. No host transfer — the throughput path
+        for pipelined serving.
 
-        Engine selected by ``config.engine``: "exact" | "approx" |
-        "bucket" (see FlatConfig)."""
+        Engine selected by ``config.engine``: "auto" (= "exact":
+        Pallas fused scan on TPU, XLA fallback elsewhere) | "exact" |
+        "approx" | "bucket" (see FlatConfig)."""
         import jax
 
         queries = as_query_matrix(queries)
@@ -68,7 +72,7 @@ class FlatIndex(Index):
         if engine == "bucket":
             from vers_tpu.ops.pallas_bucket import bucket_scan_topk
 
-            return bucket_scan_topk(
+            dists, rows = bucket_scan_topk(
                 queries,
                 self._store.data,
                 n,
@@ -77,26 +81,27 @@ class FlatIndex(Index):
                 rescore=self.config.bucket_rescore,
                 interpret=jax.default_backend() != "tpu",
             )
-        return distance_topk(
-            queries,
-            self._store.data,
-            n,
-            k_eff,
-            metric=self.config.metric,
-            chunk_size=self.config.chunk_size,
-            force="approx" if engine == "approx" else None,
-        )
+        else:
+            dists, rows = distance_topk(
+                queries,
+                self._store.data,
+                n,
+                k_eff,
+                metric=self.config.metric,
+                chunk_size=self.config.chunk_size,
+                force="approx" if engine == "approx" else None,
+            )
+        if k_eff < top_k:
+            pad = top_k - k_eff
+            dists = jnp.pad(dists, ((0, 0), (0, pad)), constant_values=jnp.inf)
+            rows = jnp.pad(rows, ((0, 0), (0, pad)), constant_values=-1)
+        return dists, rows
 
     def search_batch(self, queries, top_k: int) -> SearchResult:
-        k_eff = max(1, min(top_k, self._store.capacity))
         dists, rows = self.search_batch_device(queries, top_k)
         dists = np.asarray(dists)
         rows = np.asarray(rows)
         ids = np.where(rows >= 0, self._ids[np.clip(rows, 0, len(self._ids) - 1)], -1)
-        if k_eff < top_k:
-            pad = top_k - k_eff
-            ids = np.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
-            dists = np.pad(dists, ((0, 0), (0, pad)), constant_values=np.inf)
         return SearchResult(ids=ids, distances=dists)
 
     # -- persistence (vers_tpu extension format; the reference has no

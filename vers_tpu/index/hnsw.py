@@ -30,7 +30,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from vers_tpu.config import HNSWConfig
-from vers_tpu.core import as_query_matrix, round_up, to_device
+from vers_tpu.core import as_query_matrix, device_id_map, round_up, to_device
 from vers_tpu.index.base import Index
 from vers_tpu.io.bincode import Reader, Writer
 from vers_tpu.models.candidates import AdjacencyItem, DistanceCandidatePair, SearchResult
@@ -378,14 +378,22 @@ class HNSWIndex(Index):
         vecs = np.zeros((n_pad, self.dim), np.float32)
         for nid, i in compact.items():
             vecs[i] = self._vec(nid)
+        # config.max_degree caps the padded adjacency width: one
+        # high-degree node otherwise widens every gather row of its
+        # layer. Truncation keeps the FIRST max_degree neighbours
+        # (insertion order — the reference's Vec order) and trades a
+        # little recall for gather bandwidth.
+        cap = getattr(self.config, "max_degree", None)
         adjs = []
         for layer in self.layers:
             deg = max((len(a.neighbours) for a in layer.adjacency.values()), default=1)
             deg = max(deg, 1)
+            if cap is not None:
+                deg = min(deg, max(int(cap), 1))
             adj = np.full((n_pad, deg), -1, np.int32)
             for nid, item in layer.adjacency.items():
                 row = [compact[x] for x in item.neighbours if x in compact]
-                adj[compact[nid], : len(row)] = row[:deg]
+                adj[compact[nid], : len(row[:deg])] = row[:deg]
             adjs.append(jnp.asarray(adj))
         entry_ext = (
             next(iter(self.layers[-1].adjacency))
@@ -416,14 +424,15 @@ class HNSWIndex(Index):
             nav_scales=nav_scales,
             adjs=adjs,
             node_ids=np.asarray(node_ids, dtype=np.int64),
-            node_ids_dev=jnp.asarray(node_ids, dtype=jnp.int32),
+            node_ids_dev=device_id_map(node_ids),
             entry=compact.get(entry_ext, 0) if entry_ext is not None else None,
         )
         return self._device_cache
 
-    def search_batch_device(self, queries, top_k: int):
-        """Device-resident search: (dists (Q,k) f32, external ids (Q,k)
-        int32) jax arrays, no host transfer — the pipelined path."""
+    def _search_batch_rows(self, queries, top_k: int):
+        """Batched beam search returning (dists (Q,k) f32, COMPACT row
+        indices (Q,k) int32, -1 = empty slot) — id mapping is left to
+        the callers so the host path can use int64 external ids."""
         qdev = as_query_matrix(queries)
         q_n = qdev.shape[0]
         cache = self._ensure_device_cache()
@@ -436,7 +445,6 @@ class HNSWIndex(Index):
         ef = max(self.ef_search, top_k)
         ef_route = getattr(self.config, "ef_route", None)
         ef_r = max(1, min(ef_route, ef)) if ef_route else ef
-        n_nodes = len(cache["node_ids"])
         entry = jnp.full((q_n,), cache["entry"], jnp.int32)
         beam_d = beam_i = None
         for layer_idx in range(len(self.layers) - 2, -1, -1):
@@ -456,19 +464,40 @@ class HNSWIndex(Index):
             beam_d, beam_i = rescore_cosine(
                 qdev, cache["vecs"], beam_i, top_k
             )
-        bd = beam_d[:, :top_k]
-        bi = beam_i[:, :top_k]
+        return beam_d[:, :top_k], beam_i[:, :top_k]
+
+    def search_batch_device(self, queries, top_k: int):
+        """Device-resident search: (dists (Q,k) f32, external ids (Q,k)
+        int32) jax arrays, no host transfer — the pipelined path.
+
+        External ids must fit in int32 (the on-device id map is int32);
+        raises ValueError otherwise — use ``search_batch``, which maps
+        rows to int64 ids on the host."""
+        bd, bi = self._search_batch_rows(queries, top_k)
+        cache = self._ensure_device_cache()
+        idmap = cache["node_ids_dev"]
+        if idmap is None:
+            raise ValueError(
+                "external ids exceed int32 range; the device-resident "
+                "path cannot map them — use search_batch()"
+            )
+        n_nodes = len(cache["node_ids"])
         ids = jnp.where(
-            bi >= 0,
-            jnp.take(cache["node_ids_dev"], jnp.clip(bi, 0, n_nodes - 1)),
-            -1,
+            bi >= 0, jnp.take(idmap, jnp.clip(bi, 0, n_nodes - 1)), -1
         )
         return bd, ids
 
     def search_batch(self, queries, top_k: int) -> SearchResult:
-        bd, ids = self.search_batch_device(queries, top_k)
+        bd, bi = self._search_batch_rows(queries, top_k)
+        node_ids = self._ensure_device_cache()["node_ids"]  # int64 host
+        bi = np.asarray(bi)
+        ids = np.where(
+            bi >= 0,
+            node_ids[np.clip(bi, 0, max(len(node_ids) - 1, 0))],
+            -1,
+        )
         return SearchResult(
-            ids=np.asarray(ids).astype(np.int64), distances=np.asarray(bd)
+            ids=ids.astype(np.int64), distances=np.asarray(bd)
         )
 
     # -- persistence (bincode parity: `hnsw.rs:20-32`, `models.rs:149-153`)

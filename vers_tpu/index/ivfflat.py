@@ -35,6 +35,8 @@ from vers_tpu.io.bincode import Reader, Writer
 from vers_tpu.models.candidates import SearchResult
 from vers_tpu.ops import kmeans as kmeans_ops
 from vers_tpu.ops.binned import (
+    adaptive_probe_depth,
+    adaptive_probes,
     binned_topk_fused,
     binned_topk_pallas,
     make_layout,
@@ -225,11 +227,28 @@ class IVFFlatIndex(Index):
         self, queries, top_k: int, nprobe: Optional[int] = None
     ):
         """Device-resident search: (dists (Q,k) f32, ids (Q,k) int32)
-        jax arrays, no host transfer — the pipelined-serving path."""
+        jax arrays, no host transfer — the pipelined-serving path.
+
+        ``nprobe=0`` (the config default) selects per-query adaptive
+        probe depth — the batched analogue of the reference's cluster
+        walk (`ivfflat.rs:166-195`): each query probes just enough
+        nearest clusters for their min(size, top_k) contributions to
+        reach top_k. The result is the exact top_k over those clusters'
+        union (the walk's per-cluster truncation quirk is not
+        reproduced here; recall is >= the walk's — see PARITY.md)."""
         layout = self._ensure_layout()
         qdev = as_query_matrix(queries)
-        nprobe = nprobe if nprobe is not None else (self.config.nprobe or 1)
-        nprobe = max(1, min(nprobe, self.num_centroids))
+        nprobe = nprobe if nprobe is not None else self.config.nprobe
+        probes = None
+        if nprobe == 0:
+            p_max = adaptive_probe_depth(layout["sizes_host"], top_k)
+            probes = adaptive_probes(
+                qdev, self._centroids_dev, layout["size"],
+                layout["num_bins"], p_max, top_k,
+            )
+            nprobe = int(probes.shape[1])
+        else:
+            nprobe = max(1, min(nprobe, self.num_centroids))
         engine = self.config.engine
         if engine == "auto":
             engine = (
@@ -240,10 +259,11 @@ class IVFFlatIndex(Index):
         if engine == "pallas":
             return binned_topk_pallas(
                 qdev, self._centroids_dev, nprobe, layout, top_k=top_k,
+                probes=probes,
             )
         return binned_topk_fused(
             qdev, self._centroids_dev, nprobe, layout, top_k=top_k,
-            precision=self.config.precision,
+            precision=self.config.precision, probes=probes,
         )
 
     def search_batch(

@@ -39,7 +39,13 @@ import jax
 import jax.numpy as jnp
 
 from vers_tpu.config import LSHConfig
-from vers_tpu.core import as_query_matrix, deduplicate, round_up, to_device
+from vers_tpu.core import (
+    as_query_matrix,
+    deduplicate,
+    device_id_map,
+    round_up,
+    to_device,
+)
 from vers_tpu.index.base import Index
 from vers_tpu.io.bincode import Reader, Writer
 from vers_tpu.models.candidates import SearchResult
@@ -309,10 +315,11 @@ class ANNIndex(Index):
         return 0
 
     def _ids_device(self):
-        """Cached device copy of the internal->external id map (int32)."""
+        """Cached device copy of the internal->external id map (int32),
+        or None when any external id exceeds int32 range."""
         cached = getattr(self, "_ids_dev", None)
         if cached is None or cached[0] is not self._ids:
-            self._ids_dev = (self._ids, jnp.asarray(self._ids, jnp.int32))
+            self._ids_dev = (self._ids, device_id_map(self._ids))
             cached = self._ids_dev
         return cached[1]
 
@@ -321,11 +328,19 @@ class ANNIndex(Index):
     ):
         """Device-resident variant of ``search_batch``: returns
         (dists (Q,k) f32, external ids (Q,k) int32) jax arrays with no
-        host transfer — the pipelined-serving path."""
+        host transfer — the pipelined-serving path.
+
+        External ids must fit in int32; raises ValueError otherwise
+        (use ``search_batch``, which maps ids on the host in int64)."""
         dists, internal = self._search_batch_internal(
             queries, top_k, probes_per_tree
         )
         idmap = self._ids_device()
+        if idmap is None:
+            raise ValueError(
+                "external ids exceed int32 range; the device-resident "
+                "path cannot map them — use search_batch()"
+            )
         ext = jnp.where(
             internal >= 0,
             jnp.take(idmap, jnp.clip(internal, 0, idmap.shape[0] - 1)),

@@ -397,6 +397,44 @@ def binned_topk_shared(
     )
 
 
+def adaptive_probe_depth(sizes: np.ndarray, top_k: int) -> int:
+    """Static worst-case probe depth of the reference's adaptive
+    cluster walk (`ivfflat.rs:166-195`): each probed bin contributes
+    min(size, top_k) candidates and the walk stops at top_k total, so
+    no query ever needs more probes than it takes the SMALLEST
+    contributions (adversarial nearest-order) to reach top_k. Depends
+    only on the bin-size histogram — compile-time static."""
+    caps = np.minimum(np.asarray(sizes, np.int64), top_k)
+    caps_sorted = np.sort(caps)  # ascending = adversarial ordering
+    cum = np.cumsum(caps_sorted)
+    hit = np.nonzero(cum >= top_k)[0]
+    if len(hit) == 0:
+        return max(len(caps), 1)  # corpus smaller than top_k: probe all
+    return int(hit[0]) + 1
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_bins", "p_max", "top_k", "metric")
+)
+def adaptive_probes(
+    queries, centroids, sizes, num_bins: int, p_max: int, top_k: int,
+    metric: str = "sq_euclidean",
+):
+    """Per-query adaptive probe selection (the batched analogue of the
+    reference's walk): rank bins nearest-first, keep probing while the
+    running candidate count (bin sizes capped at top_k, like the walk's
+    per-cluster take) is still short of top_k. Inactive ranks are set
+    to the sentinel bin ``num_bins``, which the packed scan's
+    bin-equality mask (and the scatter-counts' dropped OOB index)
+    silently ignores. Returns (Q, p_max) int32."""
+    cdist = pairwise_distance(queries, centroids, metric)
+    _, probes = topk_smallest(cdist, min(p_max, num_bins))
+    contrib = jnp.minimum(sizes[probes], top_k)
+    before = jnp.cumsum(contrib, axis=1) - contrib  # exclusive cumsum
+    active = before < top_k  # rank r runs iff still short before it
+    return jnp.where(active, probes, num_bins).astype(jnp.int32)
+
+
 def static_groups(layout: Dict, r_blk: int, b_lo: int = 0,
                   b_hi: int | None = None):
     """Pack consecutive whole bins of [b_lo, b_hi) into groups of

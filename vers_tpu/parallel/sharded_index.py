@@ -17,6 +17,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from vers_tpu.core import device_id_map
 from vers_tpu.index.base import Index
 from vers_tpu.index.flat import FlatIndex
 from vers_tpu.io.bincode import Reader, Writer
@@ -70,15 +71,14 @@ class ShardedFlatIndex(Index):
         self._ids = np.append(self._ids, np.int64(vec_id))
         self._place()  # re-shard (bulk adds should batch)
 
-    def search_batch_device(self, queries, top_k: int):
-        """Device-resident sharded search: (dists (Q,k) f32, external
-        ids (Q,k) int32) jax arrays — the pipelined path (the id map
-        rides along on device)."""
+    def _search_batch_rows(self, queries, top_k: int):
+        """Sharded search returning (dists (Q,k) f32, global padded ROW
+        indices (Q,k), -1 = empty) — id mapping left to the callers."""
         if not isinstance(queries, jax.Array):
             queries = jnp.asarray(np.asarray(queries, dtype=np.float32))
         if queries.ndim == 1:
             queries = queries[None]
-        d, i = sharded_topk(
+        return sharded_topk(
             queries,
             self._data,
             self._counts,
@@ -86,23 +86,40 @@ class ShardedFlatIndex(Index):
             self.mesh,
             metric=self.metric,
         )
+
+    def search_batch_device(self, queries, top_k: int):
+        """Device-resident sharded search: (dists (Q,k) f32, external
+        ids (Q,k) int32) jax arrays — the pipelined path (the id map
+        rides along on device).
+
+        External ids must fit in int32; raises ValueError otherwise
+        (use ``search_batch``, which maps ids on the host in int64)."""
+        d, i = self._search_batch_rows(queries, top_k)
         cached = getattr(self, "_row_to_id_dev", None)
         if cached is None or cached[0] is not self._row_to_id:
             self._row_to_id_dev = (
                 self._row_to_id,
-                jnp.asarray(self._row_to_id, jnp.int32),
+                device_id_map(self._row_to_id),
             )
             cached = self._row_to_id_dev
         idmap = cached[1]
+        if idmap is None:
+            raise ValueError(
+                "external ids exceed int32 range; the device-resident "
+                "path cannot map them — use search_batch()"
+            )
         ids = jnp.where(
             i >= 0, jnp.take(idmap, jnp.clip(i, 0, idmap.shape[0] - 1)), -1
         )
         return d, ids
 
     def search_batch(self, queries, top_k: int) -> SearchResult:
-        d, ids = self.search_batch_device(queries, top_k)
+        d, i = self._search_batch_rows(queries, top_k)
+        i = np.asarray(i)
+        hi = max(len(self._row_to_id) - 1, 0)
+        ids = np.where(i >= 0, self._row_to_id[np.clip(i, 0, hi)], -1)
         return SearchResult(
-            ids=np.asarray(ids).astype(np.int64), distances=np.asarray(d)
+            ids=ids.astype(np.int64), distances=np.asarray(d)
         )
 
     # -- sharded persistence -------------------------------------------
