@@ -80,20 +80,101 @@ def test_roundtrip(tmp_path, built):
     np.testing.assert_array_equal(res_orig.ids, res_re.ids)
 
 
-def test_add_overflow_triggers_rebuild():
+def test_add_overflow_splits_only_that_leaf():
+    """Reference parity (`lsh.rs:236-246`): an overflowing add rebuilds
+    just the overflowing leaf; every other bucket is bit-identical."""
     rng = np.random.default_rng(33)
     x = rng.normal(size=(30, 8)).astype(np.float32)
     idx = ANNIndex.build_index(2, 4, x, np.arange(30))
-    # overflow several leaves
+
+    overflowed = 0
     for i in range(12):
-        idx.add(rng.normal(size=8).astype(np.float32), 100 + i)
-    assert idx._dirty_trees  # at least one leaf overflowed
-    res = idx.search_batch(x[:4], 5)  # triggers lazy rebuild
-    assert not idx._dirty_trees
+        emb = rng.normal(size=8).astype(np.float32)
+        # snapshot bucket membership + which leaf each add lands in
+        before = [
+            ([list(m) for m in t.members], idx._descend_host_pos(t, emb))
+            for t in idx._trees
+        ]
+        idx.add(emb, 100 + i)
+        assert not idx._dirty_trees  # split path, never whole-tree rebuild
+        for tree, (members_before, (b, _, _, on_path)) in zip(
+            idx._trees, before
+        ):
+            assert on_path
+            if len(members_before[b]) + 1 > idx.max_node_size:
+                overflowed += 1
+            # untouched buckets: identical membership lists
+            for bb, mem in enumerate(members_before):
+                if bb != b:
+                    assert tree.members[bb] == mem
+    assert overflowed  # the scenario actually exercised a split
+
     for tree in idx._trees:
         assert tree.leaf_of_vec.shape[0] == 42
-        sizes = [len(m) for m in tree.members]
-        # rebuilt trees respect the leaf bound again (bounded depth may
-        # leave rare oversized leaves; none expected at this scale)
-        assert max(sizes) <= 4 + 1
+        # leaf bound restored (frozen oversized leaves possible only on
+        # non-separable members; none expected at this scale)
+        assert max(len(m) for m in tree.members) <= 4
+        # members/leaf_of_vec stay consistent after grafting
+        for bb, mem in enumerate(tree.members):
+            for m in mem:
+                assert tree.leaf_of_vec[m] == bb
+
+    res = idx.search_batch(x[:4], 5)
     assert res.ids.shape == (4, 5)
+    # single-query path agrees with the grafted tables: every query
+    # finds itself
+    for qi in range(4):
+        assert idx.search_approximate(x[qi], 3)[0][0] == qi
+
+
+def test_add_overflow_roundtrip(tmp_path):
+    """Grafted subtrees serialize through the recursive Node format."""
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(25, 8)).astype(np.float32)
+    idx = ANNIndex.build_index(2, 4, x, np.arange(25))
+    for i in range(10):
+        idx.add(rng.normal(size=8).astype(np.float32), 200 + i)
+    p = str(tmp_path / "lsh_split.index")
+    idx.save_index(p)
+    idx2 = ANNIndex.load_index(p, dim=8)
+    assert len(idx2._values) == 35
+    for t1, t2 in zip(idx._trees, idx2._trees):
+        assert sorted(map(tuple, map(sorted, t1.members))) == sorted(
+            map(tuple, map(sorted, t2.members))
+        )
+    q = x[3]
+    assert [i for i, _ in idx.search_approximate(q, 5)] == [
+        i for i, _ in idx2.search_approximate(q, 5)
+    ]
+
+
+def test_batched_deficit_emulation_matches_parity_recall():
+    """The default batched path (size-aware deficit emulation) must be
+    within 2 recall points of the single-query parity path on clustered
+    data with small leaves (the regime where the reference's
+    backup-branch rule matters)."""
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(24, 16)).astype(np.float32) * 4
+    assign = rng.integers(0, 24, size=600)
+    x = (centers[assign] + rng.normal(size=(600, 16)) * 0.3).astype(np.float32)
+    # max_node_size 8 < top_k 10: single leaves cannot satisfy top_k
+    idx = ANNIndex.build_index(4, 8, x, np.arange(600))
+    top_k = 10
+    q = x[:64]
+    truth = exhaustive_batch(x, q, top_k)
+
+    single_ids = np.full((64, top_k), -1, np.int64)
+    for i in range(64):
+        for j, (vid, _) in enumerate(idx.search_approximate(q[i], top_k)):
+            single_ids[i, j] = vid
+    rec_single = recall_at_k(single_ids, truth)
+
+    assert idx._auto_probes(top_k) > 1  # policy engaged
+    res = idx.search_batch(q, top_k)  # default = deficit emulation
+    rec_batched = recall_at_k(res.ids, truth)
+
+    res1 = idx.search_batch(q, top_k, probes_per_tree=1)
+    rec_fixed1 = recall_at_k(res1.ids, truth)
+
+    assert rec_batched >= rec_single - 0.02, (rec_batched, rec_single)
+    assert rec_batched > rec_fixed1  # the emulation actually helps

@@ -19,11 +19,12 @@ Documented deviations from the reference:
 - tree depth is bounded (`ops/rpforest.depth_bound`); pathologically
   unbalanced nodes freeze into oversized leaves instead of recursing
   forever,
-- ``add`` appends the new vector to its main-path leaf; when a leaf
-  overflows max_node_size the affected TREE is lazily rebuilt on the
-  next search (the reference splits just the overflowing leaf,
-  `lsh.rs:240-248` — whole-tree rebuild is the batched equivalent and
-  re-randomizes that tree's hyperplanes),
+- ``add`` overflow splits just the overflowing leaf into a subtree,
+  same as the reference (`lsh.rs:236-246`), with a seeded PRNG for the
+  sampled hyperplanes and a bounded-attempt freeze for non-separating
+  nodes (D1/D2); only if the descent falls off the recorded tables
+  (defensive, loaded/degenerate trees) is the whole tree lazily
+  rebuilt,
 - ``add`` stores the new vector's *internal* index in tree leaves; the
   reference stores the external id (`lsh.rs:255-262`), which is only
   correct when no duplicates were removed — observable behavior is
@@ -60,19 +61,37 @@ from vers_tpu.ops.pallas_topk import MAX_PALLAS_K
 import functools
 
 
+def _deficit_gate(probes, sizes, num_bins: int, n_probes: int,
+                  deficit_k: int):
+    """Size-aware probe gating — the batched analogue of the
+    reference's deficit/backup rule (`lsh.rs:203-214`): within each
+    tree's probe ranks (tree-major), a rank stays active only while the
+    cumulative min(leaf_size, k) of the ranks before it is still short
+    of k. Gated ranks park on the sentinel bin ``num_bins`` which the
+    packed scan's bin-equality mask (and dropped-OOB scatter counts)
+    ignore."""
+    q_n = probes.shape[0]
+    contrib = jnp.minimum(sizes[probes], deficit_k)
+    c = contrib.reshape(q_n, -1, n_probes)  # (Q, T, P) tree-major
+    before = jnp.cumsum(c, axis=2) - c  # exclusive
+    active = (before < deficit_k).reshape(q_n, -1)
+    return jnp.where(active, probes, num_bins)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "n_probes", "num_bins", "top_k", "q_blk", "r_blk", "chunk",
         "w_rank", "q_pad_rank", "rank_rows", "g_base", "interpret",
+        "deficit_k",
     ),
 )
 def _forest_search_pallas(
-    queries, coeffs, consts, splits, buckets, offsets,
+    queries, coeffs, consts, splits, buckets, offsets, sizes,
     corpus_padded, rbin_padded, xx_padded, s2o_padded, g_first,
     n_probes: int, num_bins: int, top_k: int, q_blk: int, r_blk: int,
     chunk: int, w_rank: int, q_pad_rank: int, rank_rows: tuple,
-    g_base: tuple, interpret: bool,
+    g_base: tuple, interpret: bool, deficit_k: int = 0,
 ):
     """ONE dispatch forest query on the Pallas packed-scan kernel:
     multiprobe descent + kernel scan + merge in a single program."""
@@ -80,6 +99,8 @@ def _forest_search_pallas(
         queries, coeffs, consts, splits, buckets, offsets,
         n_probes=n_probes,
     )
+    if deficit_k:
+        probes = _deficit_gate(probes, sizes, num_bins, n_probes, deficit_k)
     return _pallas_fused_core(
         queries, probes, corpus_padded, rbin_padded, xx_padded,
         s2o_padded, g_first, num_bins=num_bins, nprobe=probes.shape[1],
@@ -94,14 +115,14 @@ def _forest_search_pallas(
     jax.jit,
     static_argnames=(
         "n_probes", "num_bins", "top_k", "q_blk", "r_blk", "w_rank",
-        "use_approx", "rank_rows",
+        "use_approx", "rank_rows", "deficit_k",
     ),
 )
 def _forest_search(
-    queries, coeffs, consts, splits, buckets, offsets,
+    queries, coeffs, consts, splits, buckets, offsets, sizes,
     corpus_sorted, rbin, sorted_to_orig, g_first, g_rstart,
     n_probes: int, num_bins: int, top_k: int, q_blk: int, r_blk: int,
-    w_rank: int, use_approx: bool, rank_rows: tuple,
+    w_rank: int, use_approx: bool, rank_rows: tuple, deficit_k: int = 0,
 ):
     """ONE dispatch for the whole forest query: multiprobe descent
     through every tree + packed binned scan + merge (the jitted callees
@@ -113,6 +134,8 @@ def _forest_search(
         queries, coeffs, consts, splits, buckets, offsets,
         n_probes=n_probes,
     )
+    if deficit_k:
+        probes = _deficit_gate(probes, sizes, num_bins, n_probes, deficit_k)
     return fused_binned_search(
         queries, probes, corpus_sorted, rbin, sorted_to_orig,
         g_first, g_rstart, num_bins=num_bins, nprobe=probes.shape[1],
@@ -126,11 +149,13 @@ class _Tree:
     """Host mirror of one tree: level tables + leaf membership."""
 
     def __init__(self, coeff, const, split, bucket, leaf_of_vec, num_buckets):
-        self.coeff = np.asarray(coeff, np.float32)    # (L, T, d)
-        self.const = np.asarray(const, np.float32)    # (L, T)
-        self.split = np.asarray(split, np.int32)      # (L, S)
-        self.bucket = np.asarray(bucket, np.int32)    # (L, S)
-        self.leaf_of_vec = np.asarray(leaf_of_vec, np.int32)  # (n,)
+        # np.array (not asarray): device-built tables arrive as
+        # read-only jax views, and leaf splits mutate them in place
+        self.coeff = np.array(coeff, np.float32)    # (L, T, d)
+        self.const = np.array(const, np.float32)    # (L, T)
+        self.split = np.array(split, np.int32)      # (L, S)
+        self.bucket = np.array(bucket, np.int32)    # (L, S)
+        self.leaf_of_vec = np.array(leaf_of_vec, np.int32)  # (n,)
         self.num_buckets = int(num_buckets)
         self.members: List[List[int]] = [[] for _ in range(self.num_buckets)]
         for i, b in enumerate(self.leaf_of_vec):
@@ -205,6 +230,9 @@ class ANNIndex(Index):
             consts[i, :l, :tc] = t.const
             splits[i, :l, :sc] = t.split
             buckets[i, :l, :sc] = t.bucket
+        combined_layout["sizes_dev"] = jnp.asarray(
+            combined_layout["sizes_host"].astype(np.int32)
+        )
         self._combined = dict(
             layout=combined_layout,
             coeffs=jnp.asarray(coeffs),
@@ -259,22 +287,133 @@ class ANNIndex(Index):
     # -- Index API -------------------------------------------------------
 
     def add(self, embedding, vec_id: int) -> None:
-        """Parity surface with `lsh.rs:255-262` (see module docstring
-        for documented deviations)."""
+        """Parity surface with `Index::add` (`lsh.rs:253-262`): append
+        the vector, then insert into every tree; when a leaf overflows
+        max_node_size, rebuild JUST that leaf into a subtree
+        (`lsh.rs:236-246` -> `build_a_tree`). Every other bucket is
+        untouched (tested bit-identical in tests/test_lsh.py)."""
         emb = np.asarray(embedding, dtype=np.float32).reshape(1, -1)
         internal = self._values.shape[0]
         self._values = np.concatenate([self._values, emb], axis=0)
         self._ids = np.append(self._ids, np.int64(vec_id))
         for t, tree in enumerate(self._trees):
-            b = int(self._descend_host(tree, emb[0]))
-            leaf = np.append(tree.leaf_of_vec, np.int32(b))
-            tree.leaf_of_vec = leaf
+            b, lvl, v, on_path = self._descend_host_pos(tree, emb[0])
+            tree.leaf_of_vec = np.append(tree.leaf_of_vec, np.int32(b))
             tree.members[b].append(internal)
             if len(tree.members[b]) > self.max_node_size:
-                # overflow-split equivalent (`lsh.rs:240-248`): lazy
-                # whole-tree rebuild at next search
-                self._dirty_trees.add(t)
+                if on_path:
+                    self._split_leaf(tree, t, lvl, v, b)
+                else:
+                    # defensive: the descent fell off the recorded
+                    # tables (loaded/degenerate tree) — lazy whole-tree
+                    # rebuild restores the invariant
+                    self._dirty_trees.add(t)
         self._combined = None
+
+    def _descend_host_pos(self, tree: _Tree, q: np.ndarray):
+        """Main-path descent returning (bucket, level, position,
+        on_path). ``on_path`` is False when the descent hit an
+        unrecorded node (then bucket 0 is the defensive answer and the
+        position is meaningless)."""
+        v = 0
+        for lvl in range(tree.split.shape[0]):
+            b = tree.bucket[lvl][v] if v < tree.bucket.shape[1] else -1
+            if b >= 0:
+                return int(b), lvl, int(v), True
+            s = tree.split[lvl][v] if v < tree.split.shape[1] else -1
+            if s < 0:
+                return 0, lvl, int(v), False
+            side = 1 if float(tree.coeff[lvl][s] @ q + tree.const[lvl][s]) >= 0 else 0
+            v = 2 * int(s) + side
+        return 0, tree.split.shape[0] - 1, 0, False
+
+    # -- leaf split (`lsh.rs:236-246` insert overflow -> build_a_tree) --
+
+    @staticmethod
+    def _grow_level_tables(tree: _Tree, lvl: int, pos: int) -> None:
+        """Ensure the level tables cover level ``lvl`` and position
+        ``pos`` (grafted subtrees may deepen or widen a level)."""
+        L, S = tree.split.shape
+        if lvl >= L:
+            grow = lvl - L + 1
+            tree.split = np.pad(tree.split, ((0, grow), (0, 0)), constant_values=-1)
+            tree.bucket = np.pad(tree.bucket, ((0, grow), (0, 0)), constant_values=-1)
+            tree.coeff = np.pad(tree.coeff, ((0, grow), (0, 0), (0, 0)))
+            tree.const = np.pad(tree.const, ((0, grow), (0, 0)))
+        if pos >= tree.split.shape[1]:
+            grow = pos - tree.split.shape[1] + 1
+            tree.split = np.pad(tree.split, ((0, 0), (0, grow)), constant_values=-1)
+            tree.bucket = np.pad(tree.bucket, ((0, 0), (0, grow)), constant_values=-1)
+
+    def _place_leaf(self, tree: _Tree, lvl: int, v: int, mem, reuse) -> None:
+        self._grow_level_tables(tree, lvl, v)
+        if reuse:
+            b = reuse.pop()
+            tree.members[b] = list(mem)
+        else:
+            b = tree.num_buckets
+            tree.num_buckets += 1
+            tree.members.append(list(mem))
+        tree.bucket[lvl][v] = b
+        tree.split[lvl][v] = -1
+        for m in mem:
+            tree.leaf_of_vec[m] = b
+
+    def _alloc_inner(self, tree: _Tree, lvl: int, v: int,
+                     normal: np.ndarray, const: float) -> int:
+        self._grow_level_tables(tree, lvl, v)
+        s_new = int(tree.split[lvl].max()) + 1  # next free slot
+        if s_new >= tree.coeff.shape[1]:
+            grow = s_new - tree.coeff.shape[1] + 1
+            tree.coeff = np.pad(tree.coeff, ((0, 0), (0, grow), (0, 0)))
+            tree.const = np.pad(tree.const, ((0, 0), (0, grow)))
+        tree.coeff[lvl][s_new] = normal
+        tree.const[lvl][s_new] = const
+        tree.split[lvl][v] = s_new
+        tree.bucket[lvl][v] = -1
+        # children live at (lvl+1, 2*s_new / 2*s_new+1)
+        self._grow_level_tables(tree, lvl + 1, 2 * s_new + 1)
+        return s_new
+
+    def _split_leaf(self, tree: _Tree, t_idx: int, lvl0: int, v0: int,
+                    b0: int) -> None:
+        """Rebuild the overflowing leaf's members into a subtree rooted
+        at its position — the reference's insert-overflow behavior
+        (`lsh.rs:236-246`): hyperplane from two sampled members
+        (normal = b - a, through the midpoint, `lsh.rs:58-95`), recurse
+        until every leaf holds < max_node_size. Deviations kept from
+        the build path (PARITY D1/D2): a seeded PRNG replaces
+        thread_rng, and a non-separating node freezes into an oversized
+        leaf after bounded attempts instead of recursing forever."""
+        members0 = list(tree.members[b0])
+        rng = np.random.default_rng(
+            (self.config.seed, 0x5EAF, t_idx, len(self._values))
+        )
+        reuse = [b0]
+        stack = [(members0, lvl0, v0)]
+        while stack:
+            mem, lvl, v = stack.pop()
+            if len(mem) < self.max_node_size:
+                self._place_leaf(tree, lvl, v, mem, reuse)
+                continue
+            marr = np.asarray(mem, dtype=np.int64)
+            for _ in range(8):
+                i, j = rng.choice(len(mem), size=2, replace=False)
+                a_v = self._values[mem[i]]
+                b_v = self._values[mem[j]]
+                normal = b_v - a_v
+                const = -float(normal @ ((a_v + b_v) / 2.0))
+                above = self._values[marr] @ normal + const >= 0
+                if 0 < int(above.sum()) < len(mem):
+                    break
+            else:  # could not separate: freeze as oversized leaf (D2)
+                self._place_leaf(tree, lvl, v, mem, reuse)
+                continue
+            s_new = self._alloc_inner(tree, lvl, v, normal, const)
+            below_m = [m for m, s in zip(mem, above) if not s]
+            above_m = [m for m, s in zip(mem, above) if s]
+            stack.append((below_m, lvl + 1, 2 * s_new))      # left = below
+            stack.append((above_m, lvl + 1, 2 * s_new + 1))  # right = above
 
     def _rebuild_dirty(self) -> None:
         if not self._dirty_trees:
@@ -324,7 +463,7 @@ class ANNIndex(Index):
         return cached[1]
 
     def search_batch_device(
-        self, queries, top_k: int, probes_per_tree: int = 1
+        self, queries, top_k: int, probes_per_tree: Optional[int] = None
     ):
         """Device-resident variant of ``search_batch``: returns
         (dists (Q,k) f32, external ids (Q,k) int32) jax arrays with no
@@ -349,12 +488,18 @@ class ANNIndex(Index):
         return dists, ext
 
     def search_batch(
-        self, queries, top_k: int, probes_per_tree: int = 1
+        self, queries, top_k: int, probes_per_tree: Optional[int] = None
     ) -> SearchResult:
         """SINGLE dispatch: multiprobe descent through the whole forest
         + packed binned scan + merge, one compiled program.
-        ``probes_per_tree`` > 1 adds min-margin sibling probes per tree
-        (the batched analogue of the reference's backup-branch rule)."""
+
+        ``probes_per_tree=None`` (default) emulates the reference's
+        deficit/backup rule (`lsh.rs:203-214`) size-aware: the static
+        probe count comes from the leaf-size histogram (enough
+        min-margin sibling probes that min(leaf, top_k) sums can reach
+        top_k), and each (query, tree) deactivates ranks once its own
+        running candidate count reaches top_k. An explicit int probes a
+        fixed number of min-margin siblings per tree."""
         dists, internal = self._search_batch_internal(
             queries, top_k, probes_per_tree
         )
@@ -367,14 +512,36 @@ class ANNIndex(Index):
         )
         return SearchResult(ids=ext.astype(np.int64), distances=dists)
 
+    def _auto_probes(self, top_k: int) -> int:
+        """Static probe depth for the deficit-rule emulation: the
+        worst-case number of leaves (sizes capped at top_k, adversarial
+        smallest-first order, same rule as the IVF walk bound) any
+        query could need to reach top_k candidates in ONE tree; capped
+        at 8 ranks (beyond that the min-margin probes stray far from
+        the backup branches anyway)."""
+        from vers_tpu.ops.binned import adaptive_probe_depth
+
+        depth = 1
+        for tree in self._trees:
+            sizes = np.asarray(
+                [len(m) for m in tree.members] or [1], np.int64
+            )
+            depth = max(depth, adaptive_probe_depth(sizes, top_k))
+        return min(depth, 8)
+
     def _search_batch_internal(
-        self, queries, top_k: int, probes_per_tree: int = 1
+        self, queries, top_k: int, probes_per_tree: Optional[int] = None
     ):
         self._rebuild_dirty()
         qdev = as_query_matrix(queries)
         comb = self._ensure_combined()
         layout = comb["layout"]
-        n_probes = max(1, probes_per_tree)
+        if probes_per_tree is None:
+            n_probes = self._auto_probes(top_k)
+            deficit_k = top_k if n_probes > 1 else 0
+        else:
+            n_probes = max(1, probes_per_tree)
+            deficit_k = 0
         engine = self.config.engine
         if engine == "auto":
             engine = (
@@ -401,7 +568,7 @@ class ANNIndex(Index):
             )
             dists, internal = _forest_search_pallas(
                 qdev, comb["coeffs"], comb["consts"], comb["splits"],
-                comb["buckets"], comb["offsets"],
+                comb["buckets"], comb["offsets"], layout["sizes_dev"],
                 padded["corpus"], padded["rbin"], padded["xx"],
                 padded["s2o"], padded["g_first"],
                 n_probes=n_probes, num_bins=layout["num_bins"],
@@ -409,6 +576,7 @@ class ANNIndex(Index):
                 w_rank=w_rank, q_pad_rank=q_pad_rank,
                 rank_rows=rank_rows, g_base=padded["g_base"],
                 interpret=jax.default_backend() != "tpu",
+                deficit_k=deficit_k,
             )
         else:
             plan = forest_tile_plan(
@@ -416,14 +584,14 @@ class ANNIndex(Index):
             )
             dists, internal = _forest_search(
                 qdev, comb["coeffs"], comb["consts"], comb["splits"],
-                comb["buckets"], comb["offsets"],
+                comb["buckets"], comb["offsets"], layout["sizes_dev"],
                 layout["corpus_sorted"], layout["rbin"],
                 layout["sorted_to_orig"], plan["g_first"], plan["g_rstart"],
                 n_probes=n_probes, num_bins=layout["num_bins"],
                 top_k=top_k, q_blk=plan["q_blk"], r_blk=plan["r_blk"],
                 w_rank=plan["w_rank"],
                 use_approx=jax.default_backend() == "tpu",
-                rank_rows=plan["rank_rows"],
+                rank_rows=plan["rank_rows"], deficit_k=deficit_k,
             )
         return dists, internal
 
