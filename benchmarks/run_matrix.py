@@ -216,9 +216,38 @@ def config_glove_sharded(n):
              recall_at_10=round(rec, 4), qps=round(len(queries) / t_q, 1))
 
 
+def config_sharded_hnsw(n):
+    """Config 6: replicated-graph, query-sharded HNSW serving."""
+    import jax
+    from vers_tpu.index.hnsw import HNSWIndex
+    from vers_tpu.parallel.hnsw import ShardedHNSWIndex
+    from vers_tpu.utils.harness import recall_at_k
+    from vers_tpu.utils.profiling import timed_device
+
+    n = min(n, 20000)
+    d = 300
+    vectors, queries = _corpus(n, d, seed=6, normalized=True)
+    queries = queries[:2048]
+    truth = _truth(vectors, queries)
+    t0 = time.perf_counter()
+    base = HNSWIndex.build_index_batched(8, 100, 32, 16, vectors)
+    build_s = time.perf_counter() - t0
+    idx = ShardedHNSWIndex(base)
+    res = idx.search_batch(queries, 10)
+    rec = recall_at_k(res.ids, truth)
+    t_q, _ = timed_device(
+        lambda: idx._search_batch_rows(queries, 10), warmup=1, iters=2,
+        depth=1,
+    )
+    emit(config="sharded-hnsw", n=n, d=d, ef_search=32,
+         n_devices=len(jax.devices()), build_s=round(build_s, 2),
+         recall_at_10=round(rec, 4),
+         qps=round(len(queries) / t_q, 1))
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--config", type=int, nargs="*", default=[1, 2, 3, 4, 5])
+    p.add_argument("--config", type=int, nargs="*", default=[1, 2, 3, 4, 5, 6])
     p.add_argument("--n", type=int, default=100_000)
     args = p.parse_args()
     if 1 in args.config:
@@ -231,6 +260,8 @@ def main():
         config_sift_ivfflat(args.n)
     if 5 in args.config:
         config_glove_sharded(min(args.n, 200_000))
+    if 6 in args.config:
+        config_sharded_hnsw(args.n)
 
 
 if __name__ == "__main__":

@@ -75,3 +75,54 @@ def test_fvecs_ivecs_roundtrip(tmp_path, rng):
     p2 = tmp_path / "t.ivecs"
     p2.write_bytes(raw)
     np.testing.assert_array_equal(read_ivecs(str(p2)), ids)
+
+
+def test_sharded_add_is_in_place():
+    """Non-overflowing adds scatter into shard headroom: no re-shard
+    (capacity stays fixed), results stay exact."""
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(100, 8)).astype(np.float32)
+    idx = ShardedFlatIndex.build_index(x, ids=np.arange(100))
+    cap_before = idx._data.shape
+    placed = {"n": 0}
+    orig_place = idx._place
+
+    def counting_place(*a, **k):
+        placed["n"] += 1
+        return orig_place(*a, **k)
+
+    idx._place = counting_place
+    headroom = int(cap_before[0] - idx._counts_host.sum())
+    n_adds = min(20, headroom)
+    assert n_adds > 0
+    for i in range(n_adds):
+        v = rng.normal(size=8).astype(np.float32)
+        idx.add(v, 1000 + i)
+        got = idx.search_batch(v[None], 1)
+        assert got.ids[0, 0] == 1000 + i
+    assert placed["n"] == 0  # never re-sharded
+    assert idx._data.shape == cap_before
+
+    # added rows participate in exact global search alongside the base
+    q = x[:5]
+    res = idx.search_batch(q, 10)
+    from vers_tpu.utils.harness import exhaustive_batch as _ex
+
+    truth = _ex(idx._host_vectors, q, 10)
+    ids_all = idx._ids
+    for r in range(5):
+        assert set(res.ids[r]) == set(ids_all[truth[r]])
+
+
+def test_sharded_add_overflow_regrows():
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(40, 8)).astype(np.float32)
+    idx = ShardedFlatIndex.build_index(x, ids=np.arange(40))
+    cap0 = idx._data.shape[0]
+    # overflow every shard's headroom
+    for i in range(cap0 - 40 + 25):
+        idx.add(rng.normal(size=8).astype(np.float32), 500 + i)
+    assert idx._data.shape[0] > cap0  # re-placed with grown capacity
+    n = idx._n
+    res = idx.search_batch(idx._host_vectors[n - 1][None], 1)
+    assert res.ids[0, 0] == idx._ids[n - 1]

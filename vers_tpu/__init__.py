@@ -46,6 +46,10 @@ def __getattr__(name):
         from vers_tpu.parallel.ivf import ShardedIVFFlatIndex
 
         return ShardedIVFFlatIndex
+    if name == "ShardedHNSWIndex":
+        from vers_tpu.parallel.hnsw import ShardedHNSWIndex
+
+        return ShardedHNSWIndex
     raise AttributeError(f"module 'vers_tpu' has no attribute {name!r}")
 
 # The reference README's intended Python API (README.md:83-97):

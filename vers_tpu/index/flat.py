@@ -116,7 +116,11 @@ class FlatIndex(Index):
     @classmethod
     def load_index(cls, file_path: str, dim: Optional[int] = None, config: FlatConfig = FlatConfig()):
         if dim is None:
-            raise ValueError("FlatIndex.load_index requires dim")
+            # the file doesn't store dim (parity with the reference's
+            # const-generic N, `base.rs:45-58`); solve it from the layout
+            from vers_tpu.io.infer import infer_dim_flat
+
+            dim = infer_dim_flat(file_path)
         with open(file_path, "rb") as fp:
             r = Reader(fp)
             values = r.vec_f32_matrix(dim)

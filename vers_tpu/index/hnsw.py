@@ -535,7 +535,12 @@ class HNSWIndex(Index):
         config: Optional[HNSWConfig] = None,
     ) -> "HNSWIndex":
         if dim is None:
-            raise ValueError("HNSWIndex.load_index requires dim")
+            # the file doesn't store dim (parity with the reference's
+            # const-generic N, `base.rs:45-58`); the layers are d-free,
+            # so it solves from the trailing id->vec block
+            from vers_tpu.io.infer import infer_dim_hnsw
+
+            dim = infer_dim_hnsw(file_path)
         try:
             from vers_tpu import native
 

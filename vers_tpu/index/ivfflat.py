@@ -326,7 +326,11 @@ class IVFFlatIndex(Index):
         config: IVFFlatConfig = IVFFlatConfig(),
     ) -> "IVFFlatIndex":
         if dim is None:
-            raise ValueError("IVFFlatIndex.load_index requires dim")
+            # the file doesn't store dim (parity with the reference's
+            # const-generic N, `base.rs:45-58`); solve it from the layout
+            from vers_tpu.io.infer import infer_dim_ivfflat
+
+            dim = infer_dim_ivfflat(file_path)
         with open(file_path, "rb") as fp:
             r = Reader(fp)
             num_centroids = r.u64()

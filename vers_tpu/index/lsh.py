@@ -678,7 +678,12 @@ class ANNIndex(Index):
         config: LSHConfig = LSHConfig(),
     ) -> "ANNIndex":
         if dim is None:
-            raise ValueError("ANNIndex.load_index requires dim")
+            # the file doesn't store dim (parity with the reference's
+            # const-generic N, `base.rs:45-58`); candidate-scan + full
+            # structural validation recovers it
+            from vers_tpu.io.infer import infer_dim_lsh
+
+            dim = infer_dim_lsh(file_path)
         with open(file_path, "rb") as fp:
             r = Reader(fp)
             max_node_size = r.u64()

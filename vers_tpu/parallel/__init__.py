@@ -3,6 +3,7 @@ from vers_tpu.parallel.search import sharded_topk
 from vers_tpu.parallel.kmeans import sharded_lloyd_step, sharded_build_kmeans
 from vers_tpu.parallel.sharded_index import ShardedFlatIndex
 from vers_tpu.parallel.ivf import ShardedIVFFlatIndex
+from vers_tpu.parallel.hnsw import ShardedHNSWIndex
 
 __all__ = [
     "make_mesh",
@@ -12,4 +13,5 @@ __all__ = [
     "sharded_build_kmeans",
     "ShardedFlatIndex",
     "ShardedIVFFlatIndex",
+    "ShardedHNSWIndex",
 ]

@@ -28,22 +28,35 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = SHARD_AXIS) -> Mesh:
 
 
 def shard_rows(
-    x: np.ndarray, mesh: Mesh, axis: str = SHARD_AXIS
+    x: np.ndarray,
+    mesh: Mesh,
+    axis: str = SHARD_AXIS,
+    capacity_per_shard: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Pad axis 0 to a multiple of the mesh size and place the array
     row-sharded. Returns (sharded (n_pad, ...), per-shard valid counts
-    (n_shards,) int32 row-sharded as (1,) each)."""
+    (n_shards,) int32 row-sharded as (1,) each).
+
+    ``capacity_per_shard`` reserves headroom rows per shard (zero
+    padding past each shard's count) so callers can append in place
+    without re-sharding."""
     n_shards = mesh.shape[axis]
     n = x.shape[0]
-    per = -(-n // n_shards)
+    base = -(-max(n, 1) // n_shards)  # balanced rows per shard
+    per = base
+    if capacity_per_shard is not None:
+        per = max(per, capacity_per_shard)
     # round per-shard rows up to the f32 sublane so local scans tile
     per = ((per + 7) // 8) * 8
-    n_pad = per * n_shards
-    pad = [(0, n_pad - n)] + [(0, 0)] * (x.ndim - 1)
-    xp = np.pad(np.asarray(x), pad)
+    x = np.asarray(x)
     counts = np.asarray(
-        [max(0, min(per, n - s * per)) for s in range(n_shards)], dtype=np.int32
+        [max(0, min(base, n - s * base)) for s in range(n_shards)],
+        dtype=np.int32,
     )
+    xp = np.zeros((per * n_shards,) + x.shape[1:], dtype=x.dtype)
+    for s in range(n_shards):
+        c = counts[s]
+        xp[s * per : s * per + c] = x[s * base : s * base + c]
     xs = jax.device_put(xp, NamedSharding(mesh, P(axis)))
     cs = jax.device_put(counts, NamedSharding(mesh, P(axis)))
     return xs, cs

@@ -19,6 +19,23 @@ import jax.numpy as jnp
 
 from vers_tpu.core import device_id_map
 from vers_tpu.index.base import Index
+
+
+@jax.jit
+def _scatter_row(data, row, idx):
+    """In-place-style append into a shard's headroom (XLA keeps the
+    row-sharded layout; only the owning shard's buffer changes)."""
+    return jax.lax.dynamic_update_slice(data, row, (idx, 0))
+
+
+@jax.jit
+def _bump_count(counts, s):
+    return counts.at[s].add(1)
+
+
+@jax.jit
+def _scatter_id(idmap, vid, idx):
+    return idmap.at[idx].set(vid)
 from vers_tpu.index.flat import FlatIndex
 from vers_tpu.io.bincode import Reader, Writer
 from vers_tpu.models.candidates import SearchResult
@@ -39,25 +56,48 @@ class ShardedFlatIndex(Index):
         self.metric = metric
         self.dim = vectors.shape[1]
         n = vectors.shape[0]
-        self._ids = np.asarray(
+        ids = np.asarray(
             ids if ids is not None else np.arange(n), dtype=np.int64
         )
-        self._host_vectors = vectors  # kept for add/save
+        # growable host mirrors (amortized O(1) appends)
+        cap = max(64, n)
+        self._host_buf = np.zeros((cap, self.dim), np.float32)
+        self._host_buf[:n] = vectors
+        self._ids_buf = np.zeros((cap,), np.int64)
+        self._ids_buf[:n] = ids
+        self._n = n
         self._place()
 
+    @property
+    def _host_vectors(self) -> np.ndarray:
+        return self._host_buf[: self._n]
+
+    @property
+    def _ids(self) -> np.ndarray:
+        return self._ids_buf[: self._n]
+
     def _place(self):
-        self._data, self._counts = shard_rows(self._host_vectors, self.mesh)
+        """(Re-)shard the corpus with ~25% per-shard headroom so
+        subsequent ``add``s are in-place device scatters, not
+        re-shards."""
         n_shards = self.mesh.shape[SHARD_AXIS]
+        base = -(-max(self._n, 1) // n_shards)
+        headroom = max(8, base // 4)
+        self._data, self._counts = shard_rows(
+            self._host_vectors, self.mesh,
+            capacity_per_shard=base + headroom,
+        )
+        self._counts_host = np.array(self._counts)  # writable host mirror
         per = self._data.shape[0] // n_shards
-        counts = np.asarray(self._counts)
         # global padded row -> external id
         mapping = np.full(self._data.shape[0], -1, np.int64)
         orig = 0
         for s in range(n_shards):
-            c = int(counts[s])
+            c = int(self._counts_host[s])
             mapping[s * per : s * per + c] = self._ids[orig : orig + c]
             orig += c
         self._row_to_id = mapping
+        self._row_to_id_dev = None
 
     @classmethod
     def build_index(cls, vectors, ids=None, mesh=None, metric="sq_euclidean"):
@@ -66,10 +106,50 @@ class ShardedFlatIndex(Index):
     # -- Index API ----------------------------------------------------
 
     def add(self, embedding, vec_id: int) -> None:
+        """O(1) append: the new row is scattered into the emptiest
+        shard's headroom (one jitted dynamic_update_slice on device, no
+        re-shard); only when every shard's capacity is exhausted does
+        the corpus re-place with grown headroom (the VectorStore
+        doubling trick, capacity-padded per shard)."""
         emb = np.asarray(embedding, dtype=np.float32).reshape(1, -1)
-        self._host_vectors = np.concatenate([self._host_vectors, emb], axis=0)
-        self._ids = np.append(self._ids, np.int64(vec_id))
-        self._place()  # re-shard (bulk adds should batch)
+        if self._n >= self._host_buf.shape[0]:
+            new_cap = max(64, self._host_buf.shape[0] * 2)
+            grown = np.zeros((new_cap, self.dim), np.float32)
+            grown[: self._n] = self._host_buf[: self._n]
+            self._host_buf = grown
+            grown_ids = np.zeros((new_cap,), np.int64)
+            grown_ids[: self._n] = self._ids_buf[: self._n]
+            self._ids_buf = grown_ids
+        self._host_buf[self._n] = emb[0]
+        self._ids_buf[self._n] = vec_id
+        self._n += 1
+
+        n_shards = self.mesh.shape[SHARD_AXIS]
+        per = self._data.shape[0] // n_shards
+        s = int(np.argmin(self._counts_host))
+        if self._counts_host[s] >= per:
+            self._place()  # all shards full: re-shard with new headroom
+            return
+        row = s * per + int(self._counts_host[s])
+        self._data = _scatter_row(
+            self._data, jnp.asarray(emb), jnp.int32(row)
+        )
+        self._counts = _bump_count(self._counts, jnp.int32(s))
+        self._counts_host[s] += 1
+        self._row_to_id[row] = vec_id
+        cached = getattr(self, "_row_to_id_dev", None)
+        if (
+            cached is not None
+            and cached[1] is not None
+            and -(2**31) <= vec_id < 2**31
+        ):
+            # keep the device id map fresh with the same scatter trick
+            self._row_to_id_dev = (
+                self._row_to_id,
+                _scatter_id(cached[1], jnp.int32(vec_id), jnp.int32(row)),
+            )
+        else:
+            self._row_to_id_dev = None
 
     def _search_batch_rows(self, queries, top_k: int):
         """Sharded search returning (dists (Q,k) f32, global padded ROW
