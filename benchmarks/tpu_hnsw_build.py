@@ -1,0 +1,170 @@
+"""HNSW device-build timing probe (verdict r1 item 2).
+
+Phase A: 100k x 300 at the probe params (8, 100, 32, 16), built twice
+         (cold-with-cache, then warm) + ef=32 recall check.
+Phase B: 1M x 300 at the reference's main.rs:70-79 params
+         (L=12, efc=100, M=24), corpus synthesized ON DEVICE
+         (host->device of 1.2GB wedges the tunnel), one build, layer
+         stats + recall probe.
+
+Emits one JSON line per phase on stdout; run with python -u from
+/root/repo, strictly serialized with other TPU jobs.
+
+Env: PHASE=A|B|AB (default A), N1M overrides the phase-B corpus size.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+def main():
+    from vers_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+    from vers_tpu.core import round_up
+    from vers_tpu.index.hnsw import HNSWIndex
+    from vers_tpu.ops.pallas_topk import distance_topk
+    from vers_tpu.utils.data import synthetic_gaussian
+    from vers_tpu.utils.harness import recall_at_k
+
+    log(f"backend={jax.default_backend()}")
+    phase = os.environ.get("PHASE", "A")
+
+    if "V" in phase:
+        # variant sweep: raw build_graph timing at 100k, expand/route
+        # from env (EXPAND, ROUTE); two passes (cold-with-cache, warm)
+        from vers_tpu.ops.hnsw_build import build_graph
+
+        expand = int(os.environ.get("EXPAND", 4))
+        route = os.environ.get("ROUTE", "1") == "1"
+        nav = os.environ.get("NAV", "bfloat16")
+        wave_cap = int(os.environ.get("WAVE_CAP", 2048))
+        n, d = 100_000, 300
+        vectors, queries = synthetic_gaussian(
+            n, d, n_clusters=1024, n_queries=4096, seed=0, normalized=True,
+            query_noise=0.5,
+        )
+        times = []
+        for p in range(2):
+            t0 = time.time()
+            ins, layers = build_graph(
+                vectors, 8, 100, 16, wave_cap=wave_cap, expand=expand,
+                route_layers=route, nav_dtype=nav,
+            )
+            times.append(time.time() - t0)
+            log(f"variant expand={expand} route={route} nav={nav} "
+                f"cap={wave_cap} pass {p}: {times[-1]:.1f}s")
+        # recall probe: assemble the index from the built layers
+        idx = HNSWIndex(100, 32, 8, 16)
+        idx._vecs = vectors.copy()
+        idx._rows_used = n
+        idx._id_row = {i: i for i in range(n)}
+        idx.dim = d
+        from vers_tpu.index.hnsw import _Layer
+        from vers_tpu.models.candidates import AdjacencyItem
+
+        for l, layer_map in enumerate(layers):
+            layer = _Layer()
+            for gid, nbrs in layer_map.items():
+                item = AdjacencyItem()
+                for cid, dist in nbrs:
+                    item.insert(int(cid), float(dist))
+                item.neighbours = set(int(c) for c, _ in nbrs)
+                layer.adjacency[int(gid)] = item
+            idx.layers[l] = layer
+        n_pad = round_up(n, 128)
+        corpus = jnp.asarray(np.pad(vectors, ((0, n_pad - n), (0, 0))))
+        qd = jnp.asarray(queries)
+        _, ti = distance_topk(qd, corpus, n, 10)
+        rec = recall_at_k(idx.search_batch(qd, 10).ids, np.asarray(ti))
+        emit(config="hnsw-build-variant", n=n, d=d, expand=expand,
+             route=route, nav=nav, wave_cap=wave_cap,
+             build_s_cold=round(times[0], 1),
+             build_s_warm=round(times[1], 1),
+             recall_at_10_ef32=round(float(rec), 4),
+             layers=[len(l) for l in layers], ts="2026-08-17")
+        return
+
+    if "A" in phase:
+        n, d = 100_000, 300
+        vectors, queries = synthetic_gaussian(
+            n, d, n_clusters=1024, n_queries=4096, seed=0, normalized=True,
+            query_noise=0.5,
+        )
+        t0 = time.time()
+        h = HNSWIndex.build_index_batched(8, 100, 32, 16, vectors,
+                                          wave_cap=2048)
+        cold_s = time.time() - t0
+        log(f"100k build pass 1 (incl compiles): {cold_s:.1f}s")
+        t0 = time.time()
+        h = HNSWIndex.build_index_batched(8, 100, 32, 16, vectors,
+                                          wave_cap=2048)
+        warm_s = time.time() - t0
+        log(f"100k build pass 2 (warm): {warm_s:.1f}s")
+        n_pad = round_up(n, 128)
+        corpus = jnp.asarray(np.pad(vectors, ((0, n_pad - n), (0, 0))))
+        qd = jnp.asarray(queries)
+        _, ti = distance_topk(qd, corpus, n, 10)
+        truth = np.asarray(ti)
+        res = h.search_batch(qd, 10)
+        rec = recall_at_k(res.ids, truth)
+        emit(config="wiki-hnsw-100k-device", n=n, d=d,
+             engine="wave build expand=8 route-beam",
+             build_s_cold=round(cold_s, 1), build_s_warm=round(warm_s, 1),
+             recall_at_10_ef32=round(float(rec), 4),
+             layers=h.get_num_nodes_in_layers(), ts="2026-08-17")
+
+    if "B" in phase:
+        from vers_tpu.ops.hnsw_build import build_graph
+
+        n = int(os.environ.get("N1M", 1_000_000))
+        d = 300
+        n_pad = round_up(n, 128)
+        key = jax.random.PRNGKey(0)
+        # clustered corpus on device (matches the synthetic_gaussian
+        # recipe shape-wise; clustering affects beam convergence)
+        kc, kx, kq = jax.random.split(key, 3)
+        n_clusters = 4096
+        centers = jax.random.normal(kc, (n_clusters, d), jnp.float32)
+        assign = jax.random.randint(kx, (n_pad,), 0, n_clusters)
+        vecs = centers[assign] + jax.random.normal(
+            jax.random.fold_in(key, 7), (n_pad, d), jnp.float32
+        )
+        vecs = vecs / jnp.linalg.norm(vecs, axis=1, keepdims=True)
+        vecs = jax.block_until_ready(vecs)
+        _ = np.asarray(vecs[:1])  # real sync (block_until_ready is a no-op)
+        log("1M corpus synthesized on device")
+
+        t0 = time.time()
+        ins, layers = build_graph(vecs, 12, 100, 24, wave_cap=2048,
+                                  n_valid=n)
+        _ = np.asarray(vecs[:1])
+        build_s = time.time() - t0
+        layer_counts = [len(l) for l in layers]
+        log(f"1M build: {build_s:.1f}s layers={layer_counts}")
+
+        emit(config="wiki1m-hnsw-device-build", n=n, d=d,
+             params="L=12 efc=100 M=24 (main.rs:70-79)",
+             engine="wave build expand=4 bf16-nav route-beam",
+             build_s=round(build_s, 1), layers=layer_counts,
+             ts="2026-08-17")
+
+
+if __name__ == "__main__":
+    main()

@@ -80,3 +80,24 @@ def test_int8_nav_and_ef_route(corpus):
     idx._device_cache = None  # rebuild nav table
     fast = recall_at_k(idx.search_batch(q, 10).ids, truth)
     assert fast > base - 0.05, (fast, base)
+
+
+def test_max_degree_caps_adjacency(corpus):
+    from vers_tpu.config import HNSWConfig
+    from vers_tpu.index.hnsw import HNSWIndex
+
+    x = corpus[:300]
+    idx = HNSWIndex.build_index(4, 32, 32, 8, x)
+    widths_full = [a.shape[1] for a in idx._ensure_device_cache()["adjs"]]
+    assert max(widths_full) > 4  # uncapped rows exceed the cap we'll set
+
+    capped = HNSWIndex.build_index(4, 32, 32, 8, x)
+    capped.config = HNSWConfig(
+        num_layers=4, ef_construction=32, ef_search=32, num_neighbours=8,
+        max_degree=4,
+    )
+    widths = [a.shape[1] for a in capped._ensure_device_cache()["adjs"]]
+    assert max(widths) <= 4
+    # capped search still returns sane self-hits
+    res = capped.search_batch(x[:8], 5)
+    assert (res.ids[:, 0] == np.arange(8)).mean() >= 0.75

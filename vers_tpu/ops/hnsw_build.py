@@ -70,8 +70,12 @@ def _beam(q, vecs, adj, rank_map, entry, ef: int, max_steps: int,
     e = max(1, min(expand, ef))
 
     def dist_to(ids):
+        # vecs may be a bf16 nav table: halved gather bytes (the beam
+        # is gather-bound); accumulate the dot in f32 on the MXU
         v = jnp.take(vecs, jnp.clip(ids, 0, n_pad - 1), axis=0)
-        dots = jnp.einsum("wmd,wd->wm", v, q)
+        dots = jnp.einsum(
+            "wmd,wd->wm", v, q, preferred_element_type=jnp.float32
+        )
         return jnp.where(ids >= 0, 1.0 - dots, _INF)
 
     beam_i = jnp.full((w, ef), -1, jnp.int32).at[:, 0].set(entry.astype(jnp.int32))
@@ -138,7 +142,9 @@ def _heuristic_select(q, vecs, beam_d, beam_i, m: int):
     w, ef = beam_d.shape
     n_pad = vecs.shape[0]
     cvecs = jnp.take(vecs, jnp.clip(beam_i, 0, n_pad - 1), axis=0)  # (W, ef, d)
-    pair = 1.0 - jnp.einsum("wed,wfd->wef", cvecs, cvecs)           # (W, ef, ef)
+    pair = 1.0 - jnp.einsum(
+        "wed,wfd->wef", cvecs, cvecs, preferred_element_type=jnp.float32
+    )                                                               # (W, ef, ef)
     valid = (beam_i >= 0) & jnp.isfinite(beam_d)
 
     # fori state: min over selected s of d(c_j, s), for EVERY candidate j
@@ -231,10 +237,20 @@ def _commit_edges(adj, dist, rank_map, u_ids, sel_i, sel_d, connect, deg: int, s
     return adj, dist
 
 
-def make_wave_step(num_layers: int, m: int, efc: int, degs: List[int], slack: int):
+def make_wave_step(num_layers: int, m: int, efc: int, degs: List[int],
+                   slack: int, max_ins: int, ef_route: int = 8,
+                   expand: int = 4):
     """Build the jitted per-wave function. degs[l] = forward degree cap
     of layer l (m_l + 1 for the heuristic's m+1 quirk); adjacency
-    buffers are (rows, degs[l] + slack)."""
+    buffers are (rows, degs[l] + slack).
+
+    ``max_ins`` is the highest insertion layer present in the wave
+    (static, bucketed by the caller): layers above it receive NO edges,
+    so they run a narrow ``ef_route``-wide routing beam that only has
+    to land the entry point for the layer below — the same D13
+    narrowing the query path uses. With 12 layers and M=24 a random
+    1024-wave inserts above layer 2 only ~once in 6 waves, so this
+    turns ~9 of the 12 full-efc beams into near-free ones."""
 
     @functools.partial(jax.jit, donate_argnums=(2, 3))
     def wave_step(vecs, rank_maps, adjs, dists, wave_ids, ins_l, entry):
@@ -247,10 +263,21 @@ def make_wave_step(num_layers: int, m: int, efc: int, degs: List[int], slack: in
         new_adjs = list(adjs)
         new_dists = list(dists)
         for l in range(num_layers - 1, -1, -1):
+            if l > max_ins:
+                # routing-only layer: nothing inserts here, just find
+                # the entry for the layer below
+                ef_r = min(ef_route, efc)
+                beam_d, beam_i = _beam(
+                    q, vecs, new_adjs[l], rank_maps[l], ent, ef_r,
+                    max_steps=max(4 * ef_r, 64), expand=expand,
+                )
+                best = beam_i[:, 0]
+                ent = jnp.where(alive & (best >= 0), best, ent)
+                continue
             deg = degs[l]
             beam_d, beam_i = _beam(
                 q, vecs, new_adjs[l], rank_maps[l], ent, efc,
-                max_steps=4 * efc,
+                max_steps=4 * efc, expand=expand,
             )
             connect = alive & (ins_l >= l)
             m_l = 2 * m if l == 0 else m
@@ -285,6 +312,9 @@ def build_graph(
     wave_cap: int = 1024,
     slack: int | None = None,
     n_valid: int | None = None,
+    expand: int = 4,
+    route_layers: bool = True,
+    nav_dtype: str = "bfloat16",
 ):
     """Run the full batched build. Returns (ins_layers (n,), per-layer
     adjacency dict {global_id: [(nbr_global_id, dist), ...]}).
@@ -309,6 +339,13 @@ def build_graph(
 
     if vecs is None:
         vecs = to_device(np.pad(vectors, ((0, n_pad - n), (0, 0))))
+    # navigation table: the wave beams and the selection heuristic are
+    # bound by their random row gathers, so a bf16 copy halves the
+    # dominant cost (same trick as the query beam, index/hnsw.py
+    # nav_dtype); distances accumulate in f32 on the MXU. The f32
+    # corpus is never gathered during construction.
+    if nav_dtype != "float32":
+        vecs = vecs.astype(jnp.dtype(nav_dtype))
 
     # per-layer compact rows
     rank_maps = []
@@ -346,23 +383,32 @@ def build_graph(
         pos += take
         size *= 8
 
-    # bucket wave sizes to limit jit recompiles
+    # bucket wave sizes AND max-insertion-layers to limit jit
+    # recompiles: (4ish size buckets) x (<=5 max_ins buckets)
     step_fns = {}
     entry = 0
+    if route_layers:
+        mi_buckets = sorted({0, 1, 2, 4, num_layers - 1})
+    else:
+        mi_buckets = [num_layers - 1]  # every layer runs the full beam
 
     for wave in waves[1:]:
         wsz = len(wave)
         bucket = 1 << (wsz - 1).bit_length()
         bucket = min(bucket, round_up(wave_cap, 8))
-        if bucket not in step_fns:
-            step_fns[bucket] = make_wave_step(
-                num_layers, m, ef_construction, degs, slack
+        wave_max_ins = int(ins[wave].max())
+        mi = next(b for b in mi_buckets if b >= wave_max_ins)
+        key = (bucket, mi)
+        if key not in step_fns:
+            step_fns[key] = make_wave_step(
+                num_layers, m, ef_construction, degs, slack, max_ins=mi,
+                expand=expand,
             )
         ids = np.full((bucket,), -1, np.int64)
         ids[:wsz] = wave
         ins_w = np.full((bucket,), -1, np.int64)
         ins_w[:wsz] = ins[wave]
-        adjs, dists = step_fns[bucket](
+        adjs, dists = step_fns[key](
             vecs, rank_maps, adjs, dists,
             jnp.asarray(ids, jnp.int32), jnp.asarray(ins_w, jnp.int32),
             jnp.asarray(entry, jnp.int32),

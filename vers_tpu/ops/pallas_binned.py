@@ -106,6 +106,10 @@ def padded_forest_layout(layout: Dict, r_blk: int, bounds) -> Dict:
     xp = jnp.where(live, jnp.take(xs, safe, axis=0), 0.0)
     rb = jnp.where(srcd >= 0, jnp.take(layout["rbin"], safe), -1)
     so = jnp.where(srcd >= 0, jnp.take(layout["sorted_to_orig"], safe), -1)
+    # f32 accumulation (vs the old host path's float64): for the score
+    # -2*q.x + ||x||^2 the norm's low bits are far below the matmul's
+    # own f32 rounding, so rankings are unaffected; documented
+    # deliberate precision trade for keeping the layout device-resident
     xx = jnp.sum(xp.astype(jnp.float32) ** 2, axis=1)
     out = dict(
         corpus=xp,
