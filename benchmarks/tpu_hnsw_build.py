@@ -55,6 +55,7 @@ def main():
         route = os.environ.get("ROUTE", "1") == "1"
         nav = os.environ.get("NAV", "bfloat16")
         wave_cap = int(os.environ.get("WAVE_CAP", 2048))
+        dedup = os.environ.get("DEDUP", "1") == "1"
         n, d = 100_000, 300
         vectors, queries = synthetic_gaussian(
             n, d, n_clusters=1024, n_queries=4096, seed=0, normalized=True,
@@ -65,11 +66,11 @@ def main():
             t0 = time.time()
             ins, layers = build_graph(
                 vectors, 8, 100, 16, wave_cap=wave_cap, expand=expand,
-                route_layers=route, nav_dtype=nav,
+                route_layers=route, nav_dtype=nav, dedup_self=dedup,
             )
             times.append(time.time() - t0)
             log(f"variant expand={expand} route={route} nav={nav} "
-                f"cap={wave_cap} pass {p}: {times[-1]:.1f}s")
+                f"cap={wave_cap} dedup={dedup} pass {p}: {times[-1]:.1f}s")
         # recall probe: assemble the index from the built layers
         idx = HNSWIndex(100, 32, 8, 16)
         idx._vecs = vectors.copy()
@@ -94,7 +95,7 @@ def main():
         _, ti = distance_topk(qd, corpus, n, 10)
         rec = recall_at_k(idx.search_batch(qd, 10).ids, np.asarray(ti))
         emit(config="hnsw-build-variant", n=n, d=d, expand=expand,
-             route=route, nav=nav, wave_cap=wave_cap,
+             route=route, nav=nav, wave_cap=wave_cap, dedup=dedup,
              build_s_cold=round(times[0], 1),
              build_s_warm=round(times[1], 1),
              recall_at_10_ef32=round(float(rec), 4),

@@ -147,3 +147,46 @@ def test_static_groups_cover_all_bins():
     for g in range(len(g_first) - 1):
         span = sizes[g_first[g] : g_first[g + 1]].sum()
         assert span <= plan["r_blk"]
+
+
+def test_adaptive_probes_sentinel_and_depth():
+    """adaptive_probes: ranks gate by exclusive cumsum of capped sizes;
+    inactive ranks park on the sentinel bin num_bins."""
+    import jax.numpy as jnp
+    from vers_tpu.ops.binned import adaptive_probe_depth, adaptive_probes
+
+    num_bins = 4
+    # bins at corners of a 2-d space; sizes 12, 2, 3, 20
+    centroids = np.array(
+        [[0, 0], [10, 0], [0, 10], [10, 10]], np.float32
+    )
+    sizes = np.array([12, 2, 3, 20], np.int64)
+    top_k = 10
+    # adversarial: 2 + 3 + min(12, 10) covers 10 at depth 3
+    assert adaptive_probe_depth(sizes, top_k) == 3
+    # a query at bin 0 (size 12 >= 10): only rank 0 active
+    q = jnp.asarray(np.array([[0.1, 0.1], [9.9, 0.1]], np.float32))
+    probes = np.asarray(
+        adaptive_probes(q, jnp.asarray(centroids), jnp.asarray(sizes),
+                        num_bins, 3, top_k)
+    )
+    assert probes[0, 0] == 0 and (probes[0, 1:] == num_bins).all()
+    # a query at bin 1 (size 2): needs bin 1, then nearest others until
+    # the capped sum reaches 10 (2 + 10 >= 10 at rank 2)
+    assert probes[1, 0] == 1
+    assert probes[1, 1] != num_bins  # second rank active
+    assert probes[1, 2] == num_bins  # gated after coverage
+
+
+def test_deficit_gate_tree_major():
+    import jax.numpy as jnp
+    from vers_tpu.index.lsh import _deficit_gate
+
+    num_bins = 6
+    sizes = jnp.asarray(np.array([4, 4, 4, 50, 50, 50], np.int32))
+    # 2 trees x 2 ranks, tree-major: tree0 ranks (small leaves),
+    # tree1 ranks (big leaves)
+    probes = jnp.asarray(np.array([[0, 1, 3, 4]], np.int32))
+    gated = np.asarray(_deficit_gate(probes, sizes, num_bins, 2, 10))
+    # tree0: 4 < 10 -> rank 1 stays; tree1: 50 >= 10 -> rank 1 gated
+    assert list(gated[0]) == [0, 1, 3, num_bins]
