@@ -56,6 +56,9 @@ def main():
         nav = os.environ.get("NAV", "bfloat16")
         wave_cap = int(os.environ.get("WAVE_CAP", 2048))
         dedup = os.environ.get("DEDUP", "1") == "1"
+        steps_env = os.environ.get("STEPS", "auto")
+        steps = "auto" if steps_env == "auto" else (int(steps_env) or None)
+        rsteps = int(os.environ.get("ROUTE_STEPS", 0)) or None
         n, d = 100_000, 300
         vectors, queries = synthetic_gaussian(
             n, d, n_clusters=1024, n_queries=4096, seed=0, normalized=True,
@@ -67,10 +70,12 @@ def main():
             ins, layers = build_graph(
                 vectors, 8, 100, 16, wave_cap=wave_cap, expand=expand,
                 route_layers=route, nav_dtype=nav, dedup_self=dedup,
+                beam_steps=steps, route_steps=rsteps,
             )
             times.append(time.time() - t0)
             log(f"variant expand={expand} route={route} nav={nav} "
-                f"cap={wave_cap} dedup={dedup} pass {p}: {times[-1]:.1f}s")
+                f"cap={wave_cap} dedup={dedup} steps={steps} "
+                f"rsteps={rsteps} pass {p}: {times[-1]:.1f}s")
         # recall probe: assemble the index from the built layers
         idx = HNSWIndex(100, 32, 8, 16)
         idx._vecs = vectors.copy()
@@ -96,6 +101,7 @@ def main():
         rec = recall_at_k(idx.search_batch(qd, 10).ids, np.asarray(ti))
         emit(config="hnsw-build-variant", n=n, d=d, expand=expand,
              route=route, nav=nav, wave_cap=wave_cap, dedup=dedup,
+             steps=steps, route_steps=rsteps,
              build_s_cold=round(times[0], 1),
              build_s_warm=round(times[1], 1),
              recall_at_10_ef32=round(float(rec), 4),
@@ -152,8 +158,9 @@ def main():
         _ = np.asarray(vecs[:1])  # real sync (block_until_ready is a no-op)
         log("1M corpus synthesized on device")
 
+        wave_cap = int(os.environ.get("WAVE_CAP", 2048))
         t0 = time.time()
-        ins, layers = build_graph(vecs, 12, 100, 24, wave_cap=2048,
+        ins, layers = build_graph(vecs, 12, 100, 24, wave_cap=wave_cap,
                                   n_valid=n)
         _ = np.asarray(vecs[:1])
         build_s = time.time() - t0
@@ -162,7 +169,8 @@ def main():
 
         emit(config="wiki1m-hnsw-device-build", n=n, d=d,
              params="L=12 efc=100 M=24 (main.rs:70-79)",
-             engine="wave build expand=4 bf16-nav route-beam",
+             engine="wave build expand=8 bf16-nav route-beam steps-cap",
+             wave_cap=wave_cap,
              build_s=round(build_s, 1), layers=layer_counts,
              ts="2026-08-17")
 

@@ -250,10 +250,19 @@ def _commit_edges(adj, dist, rank_map, u_ids, sel_i, sel_d, connect, deg: int, s
 
 def make_wave_step(num_layers: int, m: int, efc: int, degs: List[int],
                    slack: int, max_ins: int, ef_route: int = 8,
-                   expand: int = 8, dedup_self: bool = False):
+                   expand: int = 8, dedup_self: bool = False,
+                   beam_steps: int | None = None,
+                   route_steps: int | None = None):
     """Build the jitted per-wave function. degs[l] = forward degree cap
     of layer l (m_l + 1 for the heuristic's m+1 quirk); adjacency
     buffers are (rows, degs[l] + slack).
+
+    ``beam_steps`` / ``route_steps`` cap the lockstep while_loop
+    iterations of the insertion / routing beams. The wave runs until
+    EVERY member converges, so a few stragglers set the whole wave's
+    step count; a cap truncates that tail (measured at 100k x 300,
+    expand=8: cap 24 = 1.13x warmer build, recall unchanged at 0.9841).
+    ``None`` = the conservative 4*ef ceiling.
 
     ``max_ins`` is the highest insertion layer present in the wave
     (static, bucketed by the caller): layers above it receive NO edges,
@@ -280,8 +289,8 @@ def make_wave_step(num_layers: int, m: int, efc: int, degs: List[int],
                 ef_r = min(ef_route, efc)
                 beam_d, beam_i = _beam(
                     q, vecs, new_adjs[l], rank_maps[l], ent, ef_r,
-                    max_steps=max(4 * ef_r, 64), expand=expand,
-                    dedup_self=dedup_self,
+                    max_steps=route_steps or max(4 * ef_r, 64),
+                    expand=expand, dedup_self=dedup_self,
                 )
                 best = beam_i[:, 0]
                 ent = jnp.where(alive & (best >= 0), best, ent)
@@ -289,7 +298,8 @@ def make_wave_step(num_layers: int, m: int, efc: int, degs: List[int],
             deg = degs[l]
             beam_d, beam_i = _beam(
                 q, vecs, new_adjs[l], rank_maps[l], ent, efc,
-                max_steps=4 * efc, expand=expand, dedup_self=dedup_self,
+                max_steps=beam_steps or 4 * efc, expand=expand,
+                dedup_self=dedup_self,
             )
             connect = alive & (ins_l >= l)
             m_l = 2 * m if l == 0 else m
@@ -328,9 +338,16 @@ def build_graph(
     route_layers: bool = True,
     nav_dtype: str = "bfloat16",
     dedup_self: bool = False,
+    beam_steps: int | None = "auto",
+    route_steps: int | None = None,
 ):
     """Run the full batched build. Returns (ins_layers (n,), per-layer
     adjacency dict {global_id: [(nbr_global_id, dist), ...]}).
+
+    ``beam_steps="auto"`` caps insertion-layer beams at
+    max(24, 2*ceil(efc/expand)) lockstep iterations (the straggler
+    truncation measured recall-neutral at 100k); pass ``None`` for the
+    conservative 4*efc ceiling or an int to override.
 
     ``vectors`` may be a device-resident jax array (already padded to a
     row multiple of 128); pass ``n_valid`` for the live row count then.
@@ -347,6 +364,8 @@ def build_graph(
     if n == 0:
         return np.zeros((0,), np.int64), [dict() for _ in range(num_layers)]
     slack = slack if slack is not None else max(m, 8)
+    if beam_steps == "auto":
+        beam_steps = max(24, 2 * math.ceil(ef_construction / max(1, expand)))
     ins = draw_insertion_layers(n, num_layers, m, seed)
     ins[0] = num_layers - 1  # first node joins every layer (hnsw.rs:417-429)
 
@@ -415,7 +434,8 @@ def build_graph(
         if key not in step_fns:
             step_fns[key] = make_wave_step(
                 num_layers, m, ef_construction, degs, slack, max_ins=mi,
-                expand=expand, dedup_self=dedup_self,
+                expand=expand, dedup_self=dedup_self, beam_steps=beam_steps,
+                route_steps=route_steps,
             )
         ids = np.full((bucket,), -1, np.int64)
         ids[:wsz] = wave
