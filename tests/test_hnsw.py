@@ -59,6 +59,27 @@ def test_single_layer_quirk():
     assert (r.ids == -1).all()
 
 
+def test_query_beam_knobs(built):
+    # beam_expand / beam_steps are observable config knobs: a generous
+    # cap must not hurt recall, and expand=8 must keep quality.
+    import dataclasses
+
+    x, idx = built
+    q = x[:64]
+    truth_ids = np.argsort(-(q @ x.T), axis=1)[:, :10]
+    base_cfg = idx.config
+    try:
+        for e, cap in ((8, None), (4, 64), (8, 24)):
+            idx.config = dataclasses.replace(
+                base_cfg, beam_expand=e, beam_steps=cap
+            )
+            res = idx.search_batch(q, 10)
+            assert recall_at_k(res.ids, truth_ids) > 0.8, (e, cap)
+            assert res.ids[3, 0] == 3
+    finally:
+        idx.config = base_cfg
+
+
 def test_add_after_build(built):
     x, idx = built
     rng = np.random.default_rng(13)

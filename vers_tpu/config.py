@@ -103,3 +103,11 @@ class HNSWConfig:
     # beam, 1.3-2.1x faster. None -> ef_search everywhere (reference
     # behavior). See PARITY.md D13.
     ef_route: Optional[int] = 8
+    # Query-beam expansion fan-out: how many best unexpanded beam
+    # entries expand per lockstep iteration (construction beams use 8;
+    # see ops/hnsw_build.py).
+    beam_expand: int = 4
+    # Cap on the query beam's lockstep iterations. None -> the legacy
+    # bound max(4*ef, 64); a tight cap trades straggler-query recall
+    # for wall-clock (A/B in benchmarks/tpu_query_beam_ab.py).
+    beam_steps: Optional[int] = None

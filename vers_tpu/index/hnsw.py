@@ -445,6 +445,8 @@ class HNSWIndex(Index):
         ef = max(self.ef_search, top_k)
         ef_route = getattr(self.config, "ef_route", None)
         ef_r = max(1, min(ef_route, ef)) if ef_route else ef
+        expand = max(1, getattr(self.config, "beam_expand", 4))
+        steps_cap = getattr(self.config, "beam_steps", None)
         entry = jnp.full((q_n,), cache["entry"], jnp.int32)
         beam_d = beam_i = None
         for layer_idx in range(len(self.layers) - 2, -1, -1):
@@ -455,7 +457,8 @@ class HNSWIndex(Index):
                 cache["adjs"][layer_idx],
                 entry,
                 ef=ef_l,
-                max_steps=max(4 * ef_l, 64),
+                max_steps=steps_cap or max(4 * ef_l, 64),
+                expand_per_step=min(expand, ef_l),
                 scales=cache["nav_scales"],
             )
             if layer_idx != 0:
