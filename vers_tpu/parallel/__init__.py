@@ -4,6 +4,7 @@ from vers_tpu.parallel.kmeans import sharded_lloyd_step, sharded_build_kmeans
 from vers_tpu.parallel.sharded_index import ShardedFlatIndex
 from vers_tpu.parallel.ivf import ShardedIVFFlatIndex
 from vers_tpu.parallel.hnsw import ShardedHNSWIndex
+from vers_tpu.parallel.lsh import ShardedANNIndex
 
 __all__ = [
     "make_mesh",
@@ -14,4 +15,5 @@ __all__ = [
     "ShardedFlatIndex",
     "ShardedIVFFlatIndex",
     "ShardedHNSWIndex",
+    "ShardedANNIndex",
 ]
