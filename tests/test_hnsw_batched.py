@@ -43,6 +43,25 @@ def test_batched_build_recall(corpus):
     assert single[0][0] == 3
 
 
+def test_pending_fast_path_matches_materialized(corpus):
+    # the device cache built straight from the wave-build arrays
+    # (pending fast path) must give the same results as the cache
+    # rebuilt from the materialized host dicts
+    x = corpus
+    a = HNSWIndex.build_index_batched(4, 48, 32, 8, x, seed=5)
+    b = HNSWIndex.build_index_batched(4, 48, 32, 8, x, seed=5)
+    q = x[:40]
+    r_fast = a.search_batch(q, 10)          # pending fast path
+    b._materialize_layers()                 # dict path
+    assert b._pending_graph is None
+    r_dict = b.search_batch(q, 10)
+    assert a.get_num_nodes_in_layers() == b.get_num_nodes_in_layers()
+    for i in range(len(q)):
+        fast = set(r_fast.ids[i]) - {-1}
+        slow = set(r_dict.ids[i]) - {-1}
+        assert len(fast & slow) >= len(slow) - 1, i  # tie-order slack
+
+
 def test_batched_vs_sequential_recall(corpus):
     x = corpus
     q = x[100:140]

@@ -77,6 +77,11 @@ class HNSWIndex(Index):
         self._rng = np.random.default_rng(self.config.seed)
         self.dim = 0
         self._device_cache = None
+        # wave-build fast path: per-layer (member_ids, adj, dist) numpy
+        # triples pending conversion into self.layers dicts; the device
+        # query path consumes them directly and the host dicts
+        # materialize lazily (save/add/single-query only)
+        self._pending_graph = None
 
     # -- id_to_vec facade ------------------------------------------------
 
@@ -325,30 +330,44 @@ class HNSWIndex(Index):
             index._rows_used = vectors.shape[0]
             index._id_row = {i: i for i in range(vectors.shape[0])}
             index.dim = vectors.shape[1]
-        _, out_layers = build_graph(
+        _, index._pending_graph = build_graph(
             vectors, num_layers, ef_construction, num_neighbours,
-            seed=seed, wave_cap=wave_cap,
+            seed=seed, wave_cap=wave_cap, as_arrays=True,
         )
-        for l, layer_dict in enumerate(out_layers):
-            layer = index.layers[l]
-            for gid, nbrs in layer_dict.items():
-                item = AdjacencyItem()
-                for nid, dist in nbrs:
-                    item.insert(int(nid), float(dist))
-                layer.adjacency[int(gid)] = item
         return index
 
+    def _materialize_layers(self) -> None:
+        """Convert a pending wave-build array graph into the host
+        adjacency dicts (one pass; called lazily by the host-side
+        consumers — save_index, add, search_approximate)."""
+        pending, self._pending_graph = self._pending_graph, None
+        if pending is None:
+            return
+        for l, (mem, adj, dist) in enumerate(pending):
+            layer = self.layers[l]
+            valid = (adj >= 0) & np.isfinite(dist)
+            for i, gid in enumerate(mem):
+                cols = np.nonzero(valid[i])[0]
+                item = AdjacencyItem()
+                for j in cols:
+                    item.insert(int(adj[i, j]), float(dist[i, j]))
+                layer.adjacency[int(gid)] = item
+
     def get_num_nodes_in_layers(self) -> List[int]:
+        if self._pending_graph is not None:
+            return [len(mem) for mem, _, _ in self._pending_graph]
         return [len(l.adjacency) for l in self.layers]
 
     # -- Index API -------------------------------------------------------
 
     def add(self, embedding, vec_id: int) -> None:
+        self._materialize_layers()
         self._add_node(np.asarray(embedding, dtype=np.float32), vec_id)
 
     def search_approximate(self, query, top_k: int) -> List[Tuple[int, float]]:
         """Port of `search_approximate` (`hnsw.rs:510-548`), all quirks
         preserved (top layer skipped; empty result if num_layers == 1)."""
+        self._materialize_layers()
         q = np.asarray(query, dtype=np.float32).reshape(-1)
         top_layer = self.layers[-1]
         if not top_layer.adjacency:
@@ -376,30 +395,55 @@ class HNSWIndex(Index):
         n = len(node_ids)
         n_pad = round_up(max(n, 1), 8)
         vecs = np.zeros((n_pad, self.dim), np.float32)
-        for nid, i in compact.items():
-            vecs[i] = self._vec(nid)
+        if n:
+            rows = np.fromiter(self._id_row.values(), np.int64, count=n)
+            vecs[:n] = self._vecs[rows]
         # config.max_degree caps the padded adjacency width: one
         # high-degree node otherwise widens every gather row of its
         # layer. Truncation keeps the FIRST max_degree neighbours
         # (insertion order — the reference's Vec order) and trades a
         # little recall for gather bandwidth.
         cap = getattr(self.config, "max_degree", None)
-        adjs = []
-        for layer in self.layers:
-            deg = max((len(a.neighbours) for a in layer.adjacency.values()), default=1)
-            deg = max(deg, 1)
-            if cap is not None:
-                deg = min(deg, max(int(cap), 1))
-            adj = np.full((n_pad, deg), -1, np.int32)
-            for nid, item in layer.adjacency.items():
-                row = [compact[x] for x in item.neighbours if x in compact]
-                adj[compact[nid], : len(row[:deg])] = row[:deg]
-            adjs.append(jnp.asarray(adj))
-        entry_ext = (
-            next(iter(self.layers[-1].adjacency))
-            if self.layers[-1].adjacency
-            else None
-        )
+        pending = self._pending_graph
+        if pending is not None and node_ids == list(range(n)):
+            # wave-build fast path: adjacency arrives as numpy arrays
+            # in global==compact ids; no host dicts needed. Vectorized
+            # left-compaction of each row's valid entries.
+            adjs = []
+            for mem, adj, dist in pending:
+                valid = (adj >= 0) & np.isfinite(dist)
+                deg = max(int(valid.sum(axis=1).max(initial=0)), 1)
+                if cap is not None:
+                    deg = min(deg, max(int(cap), 1))
+                order = np.argsort(~valid, axis=1, kind="stable")
+                packed = np.where(
+                    np.take_along_axis(valid, order, 1),
+                    np.take_along_axis(adj, order, 1),
+                    -1,
+                )[:, :deg]
+                full = np.full((n_pad, deg), -1, np.int32)
+                full[mem] = packed
+                adjs.append(jnp.asarray(full))
+            top_mem = pending[-1][0]
+            entry_ext = int(top_mem[0]) if len(top_mem) else None
+        else:
+            self._materialize_layers()
+            adjs = []
+            for layer in self.layers:
+                deg = max((len(a.neighbours) for a in layer.adjacency.values()), default=1)
+                deg = max(deg, 1)
+                if cap is not None:
+                    deg = min(deg, max(int(cap), 1))
+                adj = np.full((n_pad, deg), -1, np.int32)
+                for nid, item in layer.adjacency.items():
+                    row = [compact[x] for x in item.neighbours if x in compact]
+                    adj[compact[nid], : len(row[:deg])] = row[:deg]
+                adjs.append(jnp.asarray(adj))
+            entry_ext = (
+                next(iter(self.layers[-1].adjacency))
+                if self.layers[-1].adjacency
+                else None
+            )
         vecs_dev = to_device(vecs)
         nav_dtype = getattr(self.config, "nav_dtype", "bfloat16")
         # navigation table: the beam loop is bound by its random row
@@ -506,6 +550,7 @@ class HNSWIndex(Index):
     # -- persistence (bincode parity: `hnsw.rs:20-32`, `models.rs:149-153`)
 
     def save_index(self, file_path: str) -> None:
+        self._materialize_layers()
         with open(file_path, "wb") as fp:
             w = Writer(fp)
             w.u64(self.ef_construction)
