@@ -160,11 +160,13 @@ def main():
 
         wave_cap = int(os.environ.get("WAVE_CAP", 2048))
         t0 = time.time()
+        # as_arrays = what build_index_batched itself consumes (host
+        # dicts materialize lazily, not on the build path)
         ins, layers = build_graph(vecs, 12, 100, 24, wave_cap=wave_cap,
-                                  n_valid=n)
+                                  n_valid=n, as_arrays=True)
         _ = np.asarray(vecs[:1])
         build_s = time.time() - t0
-        layer_counts = [len(l) for l in layers]
+        layer_counts = [len(mem) for mem, _, _ in layers]
         log(f"1M build: {build_s:.1f}s layers={layer_counts}")
 
         emit(config="wiki1m-hnsw-device-build", n=n, d=d,
