@@ -34,7 +34,7 @@ from vers_tpu.core import as_query_matrix, device_id_map, round_up, to_device
 from vers_tpu.index.base import Index
 from vers_tpu.io.bincode import Reader, Writer
 from vers_tpu.models.candidates import AdjacencyItem, DistanceCandidatePair, SearchResult
-from vers_tpu.ops.beam import beam_search_layer, rescore_cosine
+from vers_tpu.ops.beam import full_descent
 
 
 class _Layer:
@@ -491,27 +491,24 @@ class HNSWIndex(Index):
         ef_r = max(1, min(ef_route, ef)) if ef_route else ef
         expand = max(1, getattr(self.config, "beam_expand", 4))
         steps_cap = getattr(self.config, "beam_steps", None)
-        entry = jnp.full((q_n,), cache["entry"], jnp.int32)
-        beam_d = beam_i = None
-        for layer_idx in range(len(self.layers) - 2, -1, -1):
-            ef_l = ef if layer_idx == 0 else ef_r
-            beam_d, beam_i = beam_search_layer(
-                qdev,
-                cache["vecs_nav"],
-                cache["adjs"][layer_idx],
-                entry,
-                ef=ef_l,
-                max_steps=steps_cap or max(4 * ef_l, 64),
-                expand_per_step=min(expand, ef_l),
-                scales=cache["nav_scales"],
-            )
-            if layer_idx != 0:
-                entry = beam_i[:, 0]  # best candidate
-        if cache["vecs_nav"].dtype != cache["vecs"].dtype:
-            beam_d, beam_i = rescore_cosine(
-                qdev, cache["vecs"], beam_i, top_k
-            )
-        return beam_d[:, :top_k], beam_i[:, :top_k]
+        scales = cache["nav_scales"]
+        # ONE dispatch: whole descent (routing beams + layer-0 beam +
+        # f32 rescore) compiled together (ops/beam.py full_descent)
+        return full_descent(
+            qdev,
+            cache["vecs"],
+            cache["vecs_nav"],
+            scales if scales is not None else jnp.zeros((1,), jnp.float32),
+            tuple(cache["adjs"][: len(self.layers) - 1]),
+            jnp.full((q_n,), cache["entry"], jnp.int32),
+            top_k=top_k,
+            ef=ef,
+            ef_r=ef_r,
+            rescore=cache["vecs_nav"].dtype != cache["vecs"].dtype,
+            has_scales=scales is not None,
+            expand=expand,
+            steps_cap=steps_cap,
+        )
 
     def search_batch_device(self, queries, top_k: int):
         """Device-resident search: (dists (Q,k) f32, external ids (Q,k)

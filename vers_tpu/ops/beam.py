@@ -148,6 +148,55 @@ def beam_search_layer(
     return beam_d, beam_i
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "top_k", "ef", "ef_r", "rescore", "has_scales", "expand",
+        "steps_cap",
+    ),
+)
+def full_descent(
+    queries,     # (Q, d) f32
+    vecs_f32,    # (n_pad, d) f32 (rescore table)
+    vecs_nav,    # (n_pad, d) nav dtype
+    scales,      # (n_pad,) f32 (int8 dequant) or (1,) dummy
+    adjs,        # tuple of (n_pad, deg_l) int32, layers 0..L-2
+    entry,       # (Q,) int32 entry rows (top-layer entrypoint)
+    top_k: int,
+    ef: int,
+    ef_r: int,
+    rescore: bool,
+    has_scales: bool,
+    expand: int = 4,
+    steps_cap=None,
+):
+    """The WHOLE query descent — routing beams on layers L-2..1, the
+    ef-wide layer-0 beam, and the exact f32 rescore — as ONE compiled
+    program (one device dispatch instead of one per layer; on a remote
+    device link each dispatch costs a round trip, and fusing also lets
+    XLA overlap the layer boundaries). ``adjs`` holds the searched
+    layers only (the reference never searches the top layer,
+    `hnsw.rs:526`). Returns (d (Q, top_k), ids (Q, top_k))."""
+    beam_d = beam_i = None
+    for layer_idx in range(len(adjs) - 1, -1, -1):
+        ef_l = ef if layer_idx == 0 else ef_r
+        beam_d, beam_i = beam_search_layer(
+            queries,
+            vecs_nav,
+            adjs[layer_idx],
+            entry,
+            ef=ef_l,
+            max_steps=steps_cap or max(4 * ef_l, 64),
+            expand_per_step=min(max(1, expand), ef_l),
+            scales=scales if has_scales else None,
+        )
+        if layer_idx != 0:
+            entry = beam_i[:, 0]
+    if rescore:
+        beam_d, beam_i = rescore_cosine(queries, vecs_f32, beam_i, top_k)
+    return beam_d[:, :top_k], beam_i[:, :top_k]
+
+
 @functools.partial(jax.jit, static_argnames=("top_k",))
 def rescore_cosine(queries, vecs_f32, ids, top_k: int):
     """Exact f32 rescore of beam results (after bf16 navigation):

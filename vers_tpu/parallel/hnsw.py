@@ -32,7 +32,7 @@ from jax.sharding import NamedSharding
 
 from vers_tpu.index.hnsw import HNSWIndex
 from vers_tpu.models.candidates import SearchResult
-from vers_tpu.ops.beam import beam_search_layer, rescore_cosine
+from vers_tpu.ops.beam import full_descent
 from vers_tpu.parallel.mesh import SHARD_AXIS, make_mesh
 
 
@@ -40,7 +40,7 @@ from vers_tpu.parallel.mesh import SHARD_AXIS, make_mesh
     jax.jit,
     static_argnames=(
         "mesh", "top_k", "ef", "ef_r", "entry_row", "rescore", "n_layers",
-        "has_scales",
+        "has_scales", "expand", "steps_cap",
     ),
 )
 def _sharded_descent(
@@ -57,26 +57,16 @@ def _sharded_descent(
     rescore: bool,
     n_layers: int,
     has_scales: bool,
+    expand: int = 4,
+    steps_cap=None,
 ):
     def local(q, vecs, vecs_nav, scales, *adjs):
-        entry = jnp.full((q.shape[0],), entry_row, jnp.int32)
-        beam_d = beam_i = None
-        for layer_idx in range(n_layers - 2, -1, -1):
-            ef_l = ef if layer_idx == 0 else ef_r
-            beam_d, beam_i = beam_search_layer(
-                q,
-                vecs_nav,
-                adjs[layer_idx],
-                entry,
-                ef=ef_l,
-                max_steps=max(4 * ef_l, 64),
-                scales=scales if has_scales else None,
-            )
-            if layer_idx != 0:
-                entry = beam_i[:, 0]
-        if rescore:
-            beam_d, beam_i = rescore_cosine(q, vecs, beam_i, top_k)
-        return beam_d[:, :top_k], beam_i[:, :top_k]
+        return full_descent(
+            q, vecs, vecs_nav, scales, tuple(adjs[: n_layers - 1]),
+            jnp.full((q.shape[0],), entry_row, jnp.int32),
+            top_k=top_k, ef=ef, ef_r=ef_r, rescore=rescore,
+            has_scales=has_scales, expand=expand, steps_cap=steps_cap,
+        )
 
     fn = shard_map(
         local,
@@ -169,6 +159,8 @@ class ShardedHNSWIndex:
             rescore=cache["vecs_nav"].dtype != cache["vecs"].dtype,
             n_layers=len(base.layers),
             has_scales=scales is not None,
+            expand=max(1, getattr(base.config, "beam_expand", 4)),
+            steps_cap=getattr(base.config, "beam_steps", None),
         )
         return np.asarray(bd)[:q_n], np.asarray(bi)[:q_n]
 
