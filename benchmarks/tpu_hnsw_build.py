@@ -36,6 +36,9 @@ def main():
 
     enable_compilation_cache()
     import jax
+
+    if os.environ.get("VERS_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["VERS_PLATFORM"])
     import jax.numpy as jnp
     from vers_tpu.core import round_up
     from vers_tpu.index.hnsw import HNSWIndex
@@ -138,7 +141,7 @@ def main():
              layers=h.get_num_nodes_in_layers(), ts="2026-08-17")
 
     if "B" in phase:
-        from vers_tpu.ops.hnsw_build import build_graph
+        from vers_tpu.utils.profiling import timed_device
 
         n = int(os.environ.get("N1M", 1_000_000))
         d = 300
@@ -154,26 +157,43 @@ def main():
             jax.random.fold_in(key, 7), (n_pad, d), jnp.float32
         )
         vecs = vecs / jnp.linalg.norm(vecs, axis=1, keepdims=True)
-        vecs = jax.block_until_ready(vecs)
-        _ = np.asarray(vecs[:1])  # real sync (block_until_ready is a no-op)
+        # queries: corpus points + noise, renormalized (phase-A recipe)
+        nq = 4096
+        qrows = jax.random.randint(jax.random.fold_in(key, 11), (nq,), 0, n)
+        qd = vecs[qrows] + 0.5 * jax.random.normal(kq, (nq, d), jnp.float32)
+        qd = qd / jnp.linalg.norm(qd, axis=1, keepdims=True)
+        _ = np.asarray(qd[:1])  # real sync (block_until_ready is a no-op)
         log("1M corpus synthesized on device")
 
         wave_cap = int(os.environ.get("WAVE_CAP", 2048))
         t0 = time.time()
-        # as_arrays = what build_index_batched itself consumes (host
-        # dicts materialize lazily, not on the build path)
-        ins, layers = build_graph(vecs, 12, 100, 24, wave_cap=wave_cap,
-                                  n_valid=n, as_arrays=True)
+        # fully device-resident build (the corpus never crosses the
+        # tunnel; graph arrays come back as part of the build)
+        idx = HNSWIndex.build_index_device(12, 100, 32, 24, vecs,
+                                           n_valid=n, wave_cap=wave_cap)
         _ = np.asarray(vecs[:1])
         build_s = time.time() - t0
-        layer_counts = [len(mem) for mem, _, _ in layers]
+        layer_counts = idx.get_num_nodes_in_layers()
         log(f"1M build: {build_s:.1f}s layers={layer_counts}")
+
+        # recall + throughput probe at ef=32
+        _, ti = distance_topk(qd, vecs, n, 10)
+        truth = np.asarray(ti)
+        sec, res = timed_device(
+            idx.search_batch_device, qd, 10, warmup=1, iters=3, depth=8
+        )
+        rec = recall_at_k(np.asarray(res[1]), truth)
+        qps = nq / sec
+        log(f"1M query ef=32: recall@10={rec:.4f} qps={qps:,.0f}")
 
         emit(config="wiki1m-hnsw-device-build", n=n, d=d,
              params="L=12 efc=100 M=24 (main.rs:70-79)",
-             engine="wave build expand=8 bf16-nav route-beam steps-cap",
+             engine="wave build expand=8 bf16-nav route-beam steps-cap "
+                    "device-resident",
              wave_cap=wave_cap,
              build_s=round(build_s, 1), layers=layer_counts,
+             recall_at_10_ef32=round(float(rec), 4),
+             qps_ef32_depth8=round(qps),
              ts="2026-08-17")
 
 

@@ -102,3 +102,39 @@ def test_roundtrip(tmp_path, built):
         assert re.search_approximate(x[probe], 10) == idx.search_approximate(
             x[probe], 10
         )
+
+
+def test_build_index_device():
+    # fully device-resident build: identical search quality to the
+    # host-input batched build; save/add work via lazy host download
+    import jax.numpy as jnp
+
+    from vers_tpu.core import pad_rows
+
+    rng = np.random.default_rng(7)
+    n, d = 500, 16
+    x = _normed(rng, n, d)
+    corpus, _ = pad_rows(jnp.asarray(x), 128)
+    idx = HNSWIndex.build_index_device(4, 32, 32, 8, corpus, n_valid=n, seed=0)
+    assert idx.get_num_nodes_in_layers()[0] == n
+    q = x[:32]
+    truth_ids = np.argsort(-(q @ x.T), axis=1)[:, :10]
+    res = idx.search_batch(q, 10)
+    assert recall_at_k(res.ids, truth_ids) > 0.85
+    assert res.ids[5, 0] == 5
+    # host paths trigger the lazy corpus download
+    single = idx.search_approximate(x[9], 5)
+    assert single[0][0] == 9
+    assert np.allclose(idx._vecs[:n], x, atol=1e-6)
+    # adds invalidate the device corpus and keep working
+    v = _normed(rng, 1, d)[0]
+    idx.add(v, 9000)
+    assert idx.search_approximate(v, 3)[0][0] == 9000
+
+
+def test_build_index_device_rejects_unpadded():
+    import jax.numpy as jnp
+
+    x = jnp.zeros((100, 8), jnp.float32)
+    with pytest.raises(ValueError):
+        HNSWIndex.build_index_device(3, 16, 8, 4, x)

@@ -82,15 +82,34 @@ class HNSWIndex(Index):
         # query path consumes them directly and the host dicts
         # materialize lazily (save/add/single-query only)
         self._pending_graph = None
+        # device-resident build (build_index_device): the (n_pad, d)
+        # f32 corpus lives on device and ids are identity rows; the
+        # host table downloads lazily (core.from_device) only for
+        # host-path consumers
+        self._corpus_dev = None
 
     # -- id_to_vec facade ------------------------------------------------
 
     @property
     def id_to_vec(self) -> Dict[int, np.ndarray]:
         """Dict view (insertion-ordered) for parity/serialization paths."""
+        self._ensure_host_vecs()
         return {nid: self._vecs[r] for nid, r in self._id_row.items()}
 
+    def _ensure_host_vecs(self) -> None:
+        """Download a device-resident corpus into the host vector table
+        (lazy: only host-path consumers — save/add/single-query — pay
+        the transfer; chunked via core.from_device)."""
+        if self._corpus_dev is None or self._vecs.shape[0] >= self._rows_used:
+            return
+        from vers_tpu.core import from_device
+
+        self._vecs = from_device(self._corpus_dev[: self._rows_used])
+
     def _set_vec(self, nid: int, vec: np.ndarray) -> None:
+        self._ensure_host_vecs()
+        # any vector write invalidates the device corpus copy
+        self._corpus_dev = None
         vec = np.asarray(vec, dtype=np.float32).reshape(-1)
         if not self.dim:
             self.dim = vec.shape[0]
@@ -110,6 +129,7 @@ class HNSWIndex(Index):
         self._vecs[row] = vec
 
     def _vec(self, nid: int) -> np.ndarray:
+        self._ensure_host_vecs()
         return self._vecs[self._id_row[nid]]
 
     # -- host-side construction (faithful port) -------------------------
@@ -126,6 +146,7 @@ class HNSWIndex(Index):
         order (largest first), like the reference's unfold-pops."""
         import heapq
 
+        self._ensure_host_vecs()
         queue = deque([entry_id])
         visited = set()
         # max-heap via negated distances: (-dist, tie, id)
@@ -336,6 +357,51 @@ class HNSWIndex(Index):
         )
         return index
 
+    @classmethod
+    def build_index_device(
+        cls,
+        num_layers: int,
+        ef_construction: int,
+        ef_search: int,
+        num_neighbours: int,
+        corpus,
+        n_valid: Optional[int] = None,
+        seed: int = 0,
+        wave_cap: int = 1024,
+    ) -> "HNSWIndex":
+        """Fully device-resident build: ``corpus`` is an (n_pad, d) f32
+        jax array already on device (rows padded to a multiple of 128;
+        pass ``n_valid`` for the live row count — padding rows are
+        ignored). The wave builder (ops/hnsw_build) consumes it in
+        place and the serving cache reuses it as the f32 rescore table,
+        so the corpus never crosses the host<->device link in either
+        direction. Host-path consumers (save_index / add /
+        search_approximate) download it lazily via core.from_device.
+        Same parameters and layer statistics as ``build_index``
+        (`hnsw.rs:440-478`)."""
+        from vers_tpu.ops.hnsw_build import build_graph
+
+        if corpus.ndim != 2:
+            raise ValueError("corpus must be (n_pad, d)")
+        if corpus.shape[0] % 128:
+            raise ValueError(
+                "device corpus rows must be padded to a multiple of 128 "
+                "(see core.pad_rows)"
+            )
+        index = cls(
+            ef_construction, ef_search, num_layers, num_neighbours, seed=seed
+        )
+        n = int(n_valid) if n_valid is not None else int(corpus.shape[0])
+        index.dim = int(corpus.shape[1])
+        index._rows_used = n
+        index._id_row = {i: i for i in range(n)}
+        index._corpus_dev = jnp.asarray(corpus, jnp.float32)
+        _, index._pending_graph = build_graph(
+            index._corpus_dev, num_layers, ef_construction, num_neighbours,
+            seed=seed, wave_cap=wave_cap, n_valid=n, as_arrays=True,
+        )
+        return index
+
     def _materialize_layers(self) -> None:
         """Convert a pending wave-build array graph into the host
         adjacency dicts (one pass; called lazily by the host-side
@@ -390,14 +456,24 @@ class HNSWIndex(Index):
     def _ensure_device_cache(self):
         if self._device_cache is not None:
             return self._device_cache
-        node_ids = list(self._id_row.keys())
-        compact = {nid: i for i, nid in enumerate(node_ids)}
-        n = len(node_ids)
-        n_pad = round_up(max(n, 1), 8)
-        vecs = np.zeros((n_pad, self.dim), np.float32)
-        if n:
-            rows = np.fromiter(self._id_row.values(), np.int64, count=n)
-            vecs[:n] = self._vecs[rows]
+        if self._corpus_dev is not None:
+            # device-resident build: corpus already on device, ids are
+            # identity rows — no host table assembly, no upload
+            n = self._rows_used
+            n_pad = self._corpus_dev.shape[0]
+            node_ids = np.arange(n, dtype=np.int64)
+            compact = None  # identity; materialized only if needed
+            identity = True
+        else:
+            node_ids = list(self._id_row.keys())
+            compact = {nid: i for i, nid in enumerate(node_ids)}
+            n = len(node_ids)
+            n_pad = round_up(max(n, 1), 8)
+            vecs = np.zeros((n_pad, self.dim), np.float32)
+            if n:
+                rows = np.fromiter(self._id_row.values(), np.int64, count=n)
+                vecs[:n] = self._vecs[rows]
+            identity = node_ids == list(range(n))
         # config.max_degree caps the padded adjacency width: one
         # high-degree node otherwise widens every gather row of its
         # layer. Truncation keeps the FIRST max_degree neighbours
@@ -405,7 +481,7 @@ class HNSWIndex(Index):
         # little recall for gather bandwidth.
         cap = getattr(self.config, "max_degree", None)
         pending = self._pending_graph
-        if pending is not None and node_ids == list(range(n)):
+        if pending is not None and identity:
             # wave-build fast path: adjacency arrives as numpy arrays
             # in global==compact ids; no host dicts needed. Vectorized
             # left-compaction of each row's valid entries.
@@ -428,6 +504,8 @@ class HNSWIndex(Index):
             entry_ext = int(top_mem[0]) if len(top_mem) else None
         else:
             self._materialize_layers()
+            if compact is None:
+                compact = {i: i for i in range(n)}
             adjs = []
             for layer in self.layers:
                 deg = max((len(a.neighbours) for a in layer.adjacency.values()), default=1)
@@ -444,7 +522,9 @@ class HNSWIndex(Index):
                 if self.layers[-1].adjacency
                 else None
             )
-        vecs_dev = to_device(vecs)
+        vecs_dev = (
+            self._corpus_dev if self._corpus_dev is not None else to_device(vecs)
+        )
         nav_dtype = getattr(self.config, "nav_dtype", "bfloat16")
         # navigation table: the beam loop is bound by its random row
         # gathers, so a narrower table dtype is ~linear speedup. bf16
@@ -469,7 +549,11 @@ class HNSWIndex(Index):
             adjs=adjs,
             node_ids=np.asarray(node_ids, dtype=np.int64),
             node_ids_dev=device_id_map(node_ids),
-            entry=compact.get(entry_ext, 0) if entry_ext is not None else None,
+            entry=(
+                None
+                if entry_ext is None
+                else entry_ext if compact is None else compact.get(entry_ext, 0)
+            ),
         )
         return self._device_cache
 
@@ -548,6 +632,7 @@ class HNSWIndex(Index):
 
     def save_index(self, file_path: str) -> None:
         self._materialize_layers()
+        self._ensure_host_vecs()
         with open(file_path, "wb") as fp:
             w = Writer(fp)
             w.u64(self.ef_construction)
