@@ -212,11 +212,20 @@ def _commit_edges(adj, dist, rank_map, u_ids, sel_i, sel_d, connect, deg: int, s
     u_flat = jnp.broadcast_to(u_ids[:, None], (w, s)).reshape(e)
     valid = (v_flat >= 0) & jnp.isfinite(d_flat)
 
-    # sort by (v, d): closest incoming edges win the slack slots
-    key_d = jnp.argsort(jnp.where(valid, d_flat, _INF), stable=True)
-    v1, d1, u1, val1 = v_flat[key_d], d_flat[key_d], u_flat[key_d], valid[key_d]
-    key_v = jnp.argsort(jnp.where(val1, v1, jnp.iinfo(jnp.int32).max), stable=True)
-    v2, d2, u2, val2 = v1[key_v], d1[key_v], u1[key_v], val1[key_v]
+    # sort by (v, d): closest incoming edges win the slack slots.
+    # ONE lexicographic two-key lax.sort carrying the payloads replaces
+    # the previous pair of chained stable argsorts + gathers (XLA sorts
+    # are expensive on TPU; this halves the sort work). The distance
+    # key is the f32 bit pattern of d+1 — monotone for every d > -1
+    # (cosine distance is >= -eps), so integer ordering == float
+    # ordering without needing x64.
+    v_key = jnp.where(valid, v_flat, jnp.iinfo(jnp.int32).max)
+    d_key = jax.lax.bitcast_convert_type(
+        jnp.where(valid, d_flat, _INF) + 1.0, jnp.int32
+    )
+    v2, _, d2, u2, val2 = jax.lax.sort(
+        (v_key, d_key, d_flat, u_flat, valid), num_keys=2, is_stable=True
+    )
 
     iota = jnp.arange(e, dtype=jnp.int32)
     is_start = jnp.concatenate([jnp.ones((1,), bool), v2[1:] != v2[:-1]])
@@ -236,13 +245,15 @@ def _commit_edges(adj, dist, rank_map, u_ids, sel_i, sel_d, connect, deg: int, s
     ga = adj.at[rows].get(mode="fill", fill_value=-1)
     gd = dist.at[rows].get(mode="fill", fill_value=_INF)
     gd = jnp.where(ga >= 0, gd, _INF)
-    nd, order = topk_smallest(gd, width)
+    # only the deg closest survive compaction — select k=deg directly
+    # instead of fully sorting all deg+slack columns
+    nd, order = topk_smallest(gd, deg)
     ni = jnp.take_along_axis(ga, order, axis=1)
     ni = jnp.where(jnp.isfinite(nd), ni, -1)
-    # zero out slack after compaction
-    col = jax.lax.broadcasted_iota(jnp.int32, (e, width), 1)
-    ni = jnp.where(col < deg, ni, -1)
-    nd = jnp.where(col < deg, nd, _INF)
+    # slack columns are cleared after compaction
+    pad = width - deg
+    ni = jnp.pad(ni, ((0, 0), (0, pad)), constant_values=-1)
+    nd = jnp.pad(nd, ((0, 0), (0, pad)), constant_values=_INF)
     adj = adj.at[rows].set(ni, mode="drop")
     dist = dist.at[rows].set(nd, mode="drop")
     return adj, dist
