@@ -120,3 +120,85 @@ def test_max_degree_caps_adjacency(corpus):
     # capped search still returns sane self-hits
     res = capped.search_batch(x[:8], 5)
     assert (res.ids[:, 0] == np.arange(8)).mean() >= 0.75
+
+
+def test_commit_edges_matches_numpy_reference():
+    """The reverse-edge slack ranking + row compaction (the wave step's
+    scatter commit) against a direct numpy re-enactment: per target v,
+    incoming (u, d) edges ranked by (d, arrival order) win the slack
+    slots; touched rows are then compacted to the deg closest."""
+    import jax.numpy as jnp
+    from vers_tpu.ops.hnsw_build import _commit_edges
+
+    rng = np.random.default_rng(5)
+    n_pad, deg, slack, w = 64, 5, 3, 8
+    width = deg + slack
+    rows_total = n_pad + 1  # +1 dump row, as build_graph pads
+
+    adj = np.full((rows_total, width), -1, np.int64)
+    dist = np.full((rows_total, width), np.inf, np.float32)
+    # pre-populate some forward rows with sorted finite distances
+    for r in range(0, n_pad, 3):
+        m = rng.integers(1, deg + 1)
+        adj[r, :m] = rng.choice(n_pad, size=m, replace=False)
+        dist[r, :m] = np.sort(rng.random(m).astype(np.float32))
+
+    rank_map = np.arange(n_pad, dtype=np.int64)
+    u_ids = rng.choice(n_pad, size=w, replace=False).astype(np.int64)
+    s = deg
+    sel_i = rng.integers(0, n_pad, size=(w, s)).astype(np.int64)
+    sel_d = np.sort(rng.random((w, s)).astype(np.float32), axis=1)
+    # sprinkle invalid slots
+    sel_i[0, -1] = -1
+    sel_d[0, -1] = np.inf
+    connect = np.ones(w, bool)
+    connect[3] = False
+
+    out_adj, out_dist = _commit_edges(
+        jnp.asarray(adj, jnp.int32), jnp.asarray(dist),
+        jnp.asarray(rank_map, jnp.int32), jnp.asarray(u_ids, jnp.int32),
+        jnp.asarray(sel_i, jnp.int32), jnp.asarray(sel_d),
+        jnp.asarray(connect), deg=deg, slack=slack,
+    )
+    out_adj = np.asarray(out_adj)
+    out_dist = np.asarray(out_dist)
+
+    # ---- numpy re-enactment ----
+    ref_adj = adj.copy()
+    ref_dist = dist.copy()
+    for i in range(w):                       # forward rows
+        if connect[i]:
+            ref_adj[u_ids[i], :s] = sel_i[i]
+            ref_adj[u_ids[i], s:] = -1
+            ref_dist[u_ids[i], :s] = sel_d[i]
+            ref_dist[u_ids[i], s:] = np.inf
+    incoming = {}                            # reverse edges by target
+    for i in range(w):
+        if not connect[i]:
+            continue
+        for j in range(s):
+            v = sel_i[i, j]
+            if v >= 0 and np.isfinite(sel_d[i, j]):
+                incoming.setdefault(int(v), []).append(
+                    (float(sel_d[i, j]), int(u_ids[i]))
+                )
+    touched = set()
+    for v, edges in incoming.items():
+        edges.sort(key=lambda t: t[0])
+        for r, (dv, uv) in enumerate(edges[:slack]):
+            ref_adj[v, deg + r] = uv
+            ref_dist[v, deg + r] = dv
+        touched.add(v)
+    for v in touched:                        # compaction to deg closest
+        row_d = np.where(ref_adj[v] >= 0, ref_dist[v], np.inf)
+        order = np.argsort(row_d, kind="stable")[:deg]
+        ni = np.full(width, -1, np.int64)
+        nd = np.full(width, np.inf, np.float32)
+        keep = np.isfinite(row_d[order])
+        ni[: keep.sum()] = ref_adj[v][order][keep]
+        nd[: keep.sum()] = row_d[order][keep]
+        ref_adj[v] = ni
+        ref_dist[v] = nd
+
+    np.testing.assert_array_equal(out_adj[:n_pad], ref_adj[:n_pad])
+    np.testing.assert_allclose(out_dist[:n_pad], ref_dist[:n_pad], rtol=1e-6)
