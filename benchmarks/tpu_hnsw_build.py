@@ -62,6 +62,7 @@ def main():
         steps_env = os.environ.get("STEPS", "auto")
         steps = "auto" if steps_env == "auto" else (int(steps_env) or None)
         rsteps = int(os.environ.get("ROUTE_STEPS", 0)) or None
+        rexpand = int(os.environ.get("ROUTE_EXPAND", 4))
         n, d = 100_000, 300
         vectors, queries = synthetic_gaussian(
             n, d, n_clusters=1024, n_queries=4096, seed=0, normalized=True,
@@ -72,12 +73,12 @@ def main():
             t0 = time.time()
             ins, layers = build_graph(
                 vectors, 8, 100, 16, wave_cap=wave_cap, expand=expand,
-                route_layers=route, nav_dtype=nav, dedup_self=dedup,
-                beam_steps=steps, route_steps=rsteps,
+                route_expand=rexpand, route_layers=route, nav_dtype=nav,
+                dedup_self=dedup, beam_steps=steps, route_steps=rsteps,
             )
             times.append(time.time() - t0)
-            log(f"variant expand={expand} route={route} nav={nav} "
-                f"cap={wave_cap} dedup={dedup} steps={steps} "
+            log(f"variant expand={expand} rexpand={rexpand} route={route} "
+                f"nav={nav} cap={wave_cap} dedup={dedup} steps={steps} "
                 f"rsteps={rsteps} pass {p}: {times[-1]:.1f}s")
         # recall probe: assemble the index from the built layers
         idx = HNSWIndex(100, 32, 8, 16)
@@ -103,6 +104,7 @@ def main():
         _, ti = distance_topk(qd, corpus, n, 10)
         rec = recall_at_k(idx.search_batch(qd, 10).ids, np.asarray(ti))
         emit(config="hnsw-build-variant", n=n, d=d, expand=expand,
+             route_expand=rexpand,
              route=route, nav=nav, wave_cap=wave_cap, dedup=dedup,
              steps=steps, route_steps=rsteps,
              build_s_cold=round(times[0], 1),

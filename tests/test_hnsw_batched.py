@@ -202,3 +202,23 @@ def test_commit_edges_matches_numpy_reference():
 
     np.testing.assert_array_equal(out_adj[:n_pad], ref_adj[:n_pad])
     np.testing.assert_allclose(out_dist[:n_pad], ref_dist[:n_pad], rtol=1e-6)
+
+
+def test_slack_columns_cleared_after_build(corpus):
+    """Invariant the beam's sliced adjacency gather relies on: outside
+    `_commit_edges`, every column >= deg is -1 (forward writes pad
+    them; reverse-edge compaction clears them), so construction and
+    query beams may gather only the forward columns."""
+    from vers_tpu.ops.hnsw_build import build_graph
+
+    m = 8
+    ins, layers = build_graph(corpus, 4, 48, m, wave_cap=128,
+                              as_arrays=True)
+    slack = max(m, 8)
+    for l, (mem, adj, dist) in enumerate(layers):
+        if len(mem) == 0:
+            continue
+        deg = (2 * m if l == 0 else m) + 1
+        assert adj.shape[1] == deg + slack
+        assert (adj[:, deg:] == -1).all(), f"layer {l} slack not cleared"
+        assert np.isinf(dist[:, deg:]).all()

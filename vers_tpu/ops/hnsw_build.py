@@ -260,8 +260,9 @@ def _commit_edges(adj, dist, rank_map, u_ids, sel_i, sel_d, connect, deg: int, s
 
 
 def make_wave_step(num_layers: int, m: int, efc: int, degs: List[int],
-                   slack: int, max_ins: int, ef_route: int = 8,
-                   expand: int = 8, dedup_self: bool = False,
+                   slack: int, sub_caps: tuple, layer_sizes: tuple,
+                   ef_route: int = 8, expand: int = 8,
+                   route_expand: int = 4, dedup_self: bool = False,
                    beam_steps: int | None = None,
                    route_steps: int | None = None):
     """Build the jitted per-wave function. degs[l] = forward degree cap
@@ -275,13 +276,29 @@ def make_wave_step(num_layers: int, m: int, efc: int, degs: List[int],
     expand=8: cap 24 = 1.13x warmer build, recall unchanged at 0.9841).
     ``None`` = the conservative 4*ef ceiling.
 
-    ``max_ins`` is the highest insertion layer present in the wave
-    (static, bucketed by the caller): layers above it receive NO edges,
-    so they run a narrow ``ef_route``-wide routing beam that only has
-    to land the entry point for the layer below — the same D13
-    narrowing the query path uses. With 12 layers and M=24 a random
-    1024-wave inserts above layer 2 only ~once in 6 waves, so this
-    turns ~9 of the 12 full-efc beams into near-free ones."""
+    ``sub_caps[l]`` (l >= 1) is the static row count of the wave prefix
+    that may insert at layer l — the caller sorts each wave by
+    insertion layer DESCENDING, so the first ``sub_caps[l]`` rows cover
+    every member with ins >= l. With M=24 a 2048-wave has ~85 layer-1
+    inserters and ~4 layer-2 ones, so the full-``efc`` beams at l >= 1
+    shrink from W to a tiny static prefix; everyone else only needs an
+    entry point for the layer below, found by a narrow
+    ``ef_route``-wide routing beam (the same D13 narrowing the query
+    path uses; the reference runs efc-wide searches even on its pure
+    routing descent, `hnsw.rs:374-385` — recall parity is A/B'd).
+    ``sub_caps[l] == 0`` means nothing inserts at l (routing only).
+    Phase profile at 1M-layer shapes: a W=2048 full beam is ~650ms and
+    an ef=8/expand=8 routing beam ~300ms, so per-member narrowing is
+    where the 1M build time lives.
+
+    ``layer_sizes[l]`` = the layer's FINAL member count (membership is
+    drawn up front): a size<=1 layer contains exactly the global entry
+    node, so routing through it is the identity and is skipped.
+
+    ``route_expand``: expansion fan-out of the routing beams — their
+    per-step gather is route_expand*deg wide, so a narrow fan-out cuts
+    the dominant cost; the beam is only ef_route deep, so fewer
+    parallel expansions cost little extra depth."""
 
     @functools.partial(jax.jit, donate_argnums=(2, 3))
     def wave_step(vecs, rank_maps, adjs, dists, wave_ids, ins_l, entry):
@@ -293,44 +310,76 @@ def make_wave_step(num_layers: int, m: int, efc: int, degs: List[int],
 
         new_adjs = list(adjs)
         new_dists = list(dists)
-        for l in range(num_layers - 1, -1, -1):
-            if l > max_ins:
-                # routing-only layer: nothing inserts here, just find
-                # the entry for the layer below
-                ef_r = min(ef_route, efc)
-                beam_d, beam_i = _beam(
-                    q, vecs, new_adjs[l], rank_maps[l], ent, ef_r,
-                    max_steps=route_steps or max(4 * ef_r, 64),
-                    expand=expand, dedup_self=dedup_self,
-                )
-                best = beam_i[:, 0]
-                ent = jnp.where(alive & (best >= 0), best, ent)
-                continue
+        for l in range(num_layers - 1, 0, -1):
+            c = min(sub_caps[l], w)
+            if c == 0 and layer_sizes[l] <= 1:
+                continue  # single-member layer == the entry node
             deg = degs[l]
-            beam_d, beam_i = _beam(
-                q, vecs, new_adjs[l], rank_maps[l], ent, efc,
-                max_steps=beam_steps or 4 * efc, expand=expand,
-                dedup_self=dedup_self,
-            )
-            connect = alive & (ins_l >= l)
-            m_l = 2 * m if l == 0 else m
-            sel_d, sel_i = _heuristic_select(q, vecs, beam_d, beam_i, m_l)
-            # align selection width to deg
-            if sel_d.shape[1] < deg:
-                padn = deg - sel_d.shape[1]
-                sel_d = jnp.pad(sel_d, ((0, 0), (0, padn)), constant_values=_INF)
-                sel_i = jnp.pad(sel_i, ((0, 0), (0, padn)), constant_values=-1)
+            # beams gather only the forward columns: the slack columns
+            # are invariantly -1 outside _commit_edges (forward writes
+            # pad them, reverse-edge compaction clears them), so the
+            # full-width gather was 33% wasted bytes
+            adj_fwd = new_adjs[l][:, :deg]
+            if c < w and layer_sizes[l] > 1:
+                ef_r = min(ef_route, efc)
+                rb_d, rb_i = _beam(
+                    q, vecs, adj_fwd, rank_maps[l], ent, ef_r,
+                    max_steps=route_steps or max(4 * ef_r, 64),
+                    expand=route_expand, dedup_self=dedup_self,
+                )
+                best = rb_i[:, 0]
+                new_ent = jnp.where(alive & (best >= 0), best, ent)
             else:
-                sel_d = sel_d[:, :deg]
-                sel_i = sel_i[:, :deg]
-            new_adjs[l], new_dists[l] = _commit_edges(
-                new_adjs[l], new_dists[l], rank_maps[l],
-                wave_ids, sel_i, sel_d, connect, deg, slack,
-            )
-            # entry for the next layer down = best candidate
-            # (`hnsw.rs:383,415`)
-            best = beam_i[:, 0]
-            ent = jnp.where(alive & (best >= 0), best, ent)
+                new_ent = ent
+            if c > 0:
+                qs, es = q[:c], ent[:c]
+                beam_d, beam_i = _beam(
+                    qs, vecs, adj_fwd, rank_maps[l], es, efc,
+                    max_steps=beam_steps or 4 * efc, expand=expand,
+                    dedup_self=dedup_self,
+                )
+                connect = alive[:c] & (ins_l[:c] >= l)
+                sel_d, sel_i = _heuristic_select(qs, vecs, beam_d, beam_i, m)
+                if sel_d.shape[1] < deg:
+                    padn = deg - sel_d.shape[1]
+                    sel_d = jnp.pad(sel_d, ((0, 0), (0, padn)),
+                                    constant_values=_INF)
+                    sel_i = jnp.pad(sel_i, ((0, 0), (0, padn)),
+                                    constant_values=-1)
+                else:
+                    sel_d = sel_d[:, :deg]
+                    sel_i = sel_i[:, :deg]
+                new_adjs[l], new_dists[l] = _commit_edges(
+                    new_adjs[l], new_dists[l], rank_maps[l],
+                    wave_ids[:c], sel_i, sel_d, connect, deg, slack,
+                )
+                # inserting members take their full beam's best as the
+                # next-layer entry (`hnsw.rs:383,415`)
+                best = beam_i[:, 0]
+                sub_ent = jnp.where(alive[:c] & (best >= 0), best, es)
+                new_ent = jax.lax.dynamic_update_slice(new_ent, sub_ent, (0,))
+            ent = new_ent
+
+        # layer 0: every member inserts — full-width beam
+        deg = degs[0]
+        beam_d, beam_i = _beam(
+            q, vecs, new_adjs[0][:, :deg], rank_maps[0], ent, efc,
+            max_steps=beam_steps or 4 * efc, expand=expand,
+            dedup_self=dedup_self,
+        )
+        connect = alive & (ins_l >= 0)
+        sel_d, sel_i = _heuristic_select(q, vecs, beam_d, beam_i, 2 * m)
+        if sel_d.shape[1] < deg:
+            padn = deg - sel_d.shape[1]
+            sel_d = jnp.pad(sel_d, ((0, 0), (0, padn)), constant_values=_INF)
+            sel_i = jnp.pad(sel_i, ((0, 0), (0, padn)), constant_values=-1)
+        else:
+            sel_d = sel_d[:, :deg]
+            sel_i = sel_i[:, :deg]
+        new_adjs[0], new_dists[0] = _commit_edges(
+            new_adjs[0], new_dists[0], rank_maps[0],
+            wave_ids, sel_i, sel_d, connect, deg, slack,
+        )
         return new_adjs, new_dists
 
     return wave_step
@@ -346,6 +395,7 @@ def build_graph(
     slack: int | None = None,
     n_valid: int | None = None,
     expand: int = 8,
+    route_expand: int = 4,
     route_layers: bool = True,
     nav_dtype: str = "bfloat16",
     dedup_self: bool = False,
@@ -440,26 +490,40 @@ def build_graph(
         pos += take
         size *= 8
 
-    # bucket wave sizes AND max-insertion-layers to limit jit
-    # recompiles: (4ish size buckets) x (<=5 max_ins buckets)
+    # bucket wave sizes AND per-layer sub-wave caps to limit jit
+    # recompiles: insertion-layer counts concentrate hard (Binomial with
+    # p = M^-l), so pow2 caps with a floor of 16 produce only a handful
+    # of distinct (bucket, sub_caps) keys over a whole build
     step_fns = {}
     entry = 0
-    if route_layers:
-        mi_buckets = sorted({0, 1, 2, 4, num_layers - 1})
-    else:
-        mi_buckets = [num_layers - 1]  # every layer runs the full beam
+    layer_sizes = tuple(len(mem) for mem in members)
 
     for wave in waves[1:]:
         wsz = len(wave)
         bucket = 1 << (wsz - 1).bit_length()
         bucket = min(bucket, round_up(wave_cap, 8))
-        wave_max_ins = int(ins[wave].max())
-        mi = next(b for b in mi_buckets if b >= wave_max_ins)
-        key = (bucket, mi)
+        # sort wave rows by insertion layer DESC so layer-l inserters
+        # form a prefix; intra-wave order has no other effect (the wave
+        # builds against the frozen prior graph)
+        wave = wave[np.argsort(-ins[wave], kind="stable")]
+        caps = [0] * num_layers
+        for l in range(1, num_layers):
+            if not route_layers:
+                caps[l] = bucket  # faithful: full beams for everyone
+                continue
+            cnt = int((ins[wave] >= l).sum())
+            if cnt == 0:
+                caps[l] = 0
+            else:
+                caps[l] = min(bucket, max(16, 1 << (cnt - 1).bit_length()))
+        caps = tuple(caps)
+        key = (bucket, caps)
         if key not in step_fns:
             step_fns[key] = make_wave_step(
-                num_layers, m, ef_construction, degs, slack, max_ins=mi,
-                expand=expand, dedup_self=dedup_self, beam_steps=beam_steps,
+                num_layers, m, ef_construction, degs, slack,
+                sub_caps=caps, layer_sizes=layer_sizes,
+                expand=expand, route_expand=route_expand,
+                dedup_self=dedup_self, beam_steps=beam_steps,
                 route_steps=route_steps,
             )
         ids = np.full((bucket,), -1, np.int64)
