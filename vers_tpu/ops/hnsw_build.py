@@ -264,7 +264,7 @@ def make_wave_step(num_layers: int, m: int, efc: int, degs: List[int],
                    ef_route: int = 8, expand: int = 8,
                    route_expand: int = 4, dedup_self: bool = False,
                    beam_steps: int | None = None,
-                   route_steps: int | None = None):
+                   route_steps: int | None = 16):
     """Build the jitted per-wave function. degs[l] = forward degree cap
     of layer l (m_l + 1 for the heuristic's m+1 quirk); adjacency
     buffers are (rows, degs[l] + slack).
@@ -395,12 +395,12 @@ def build_graph(
     slack: int | None = None,
     n_valid: int | None = None,
     expand: int = 8,
-    route_expand: int = 4,
+    route_expand: int = 8,
     route_layers: bool = True,
     nav_dtype: str = "bfloat16",
     dedup_self: bool = False,
     beam_steps: int | None = "auto",
-    route_steps: int | None = None,
+    route_steps: int | None = "auto",
     as_arrays: bool = False,
 ):
     """Run the full batched build. Returns (ins_layers (n,), per-layer
@@ -441,6 +441,11 @@ def build_graph(
     slack = slack if slack is not None else max(m, 8)
     if beam_steps == "auto":
         beam_steps = max(24, 2 * math.ceil(ef_construction / max(1, expand)))
+    if route_steps == "auto":
+        # routing beams only need to land an entry point: 16 lockstep
+        # steps measured recall-positive vs the 64-step tail at 100k
+        # (118.5s vs 178.8s warm, recall 0.9855 vs 0.9842)
+        route_steps = 16
     ins = draw_insertion_layers(n, num_layers, m, seed)
     ins[0] = num_layers - 1  # first node joins every layer (hnsw.rs:417-429)
 
@@ -515,7 +520,18 @@ def build_graph(
             if cnt == 0:
                 caps[l] = 0
             else:
-                caps[l] = min(bucket, max(16, 1 << (cnt - 1).bit_length()))
+                # cap must be a deterministic function of the bucket,
+                # not of the realized count: counts are Binomial(W,
+                # M^-l) and sit near pow2 boundaries (mean 128 at
+                # W=2048, M=16), so realized-count caps flip between
+                # tuples and each tuple cold-compiles a whole wave
+                # graph. mean + 6*sqrt(mean) + 4 overflows with
+                # probability ~1e-9; the max(cnt) fallback keeps the
+                # rare overflow correct (one extra compile).
+                exp_cnt = bucket / float(m) ** l
+                stat = exp_cnt + 6.0 * math.sqrt(exp_cnt) + 4.0
+                cap = max(16, 1 << (int(max(cnt, stat)) - 1).bit_length())
+                caps[l] = min(bucket, cap)
         caps = tuple(caps)
         key = (bucket, caps)
         if key not in step_fns:
