@@ -153,17 +153,24 @@ def main():
         # recipe shape-wise; clustering affects beam convergence)
         kc, kx, kq = jax.random.split(key, 3)
         n_clusters = 4096
-        centers = jax.random.normal(kc, (n_clusters, d), jnp.float32)
+        # device re-enactment of utils.data.synthetic_gaussian: centers
+        # scaled 2x, query noise added to the UNNORMALIZED corpus point
+        # (raw norm ~sqrt(5d)) before renormalizing. Adding 0.5*N(0,I)
+        # to an already unit-norm row buries the signal under ~8.7x
+        # noise and makes queries near-random — that bug produced a
+        # bogus 0.085 "recall collapse" at 1M (the graph was fine).
+        centers = 2.0 * jax.random.normal(kc, (n_clusters, d), jnp.float32)
         assign = jax.random.randint(kx, (n_pad,), 0, n_clusters)
-        vecs = centers[assign] + jax.random.normal(
+        raw = centers[assign] + jax.random.normal(
             jax.random.fold_in(key, 7), (n_pad, d), jnp.float32
         )
-        vecs = vecs / jnp.linalg.norm(vecs, axis=1, keepdims=True)
-        # queries: corpus points + noise, renormalized (phase-A recipe)
+        vecs = raw / jnp.linalg.norm(raw, axis=1, keepdims=True)
+        # queries: UNNORMALIZED corpus points + noise, then renormalize
         nq = 4096
         qrows = jax.random.randint(jax.random.fold_in(key, 11), (nq,), 0, n)
-        qd = vecs[qrows] + 0.5 * jax.random.normal(kq, (nq, d), jnp.float32)
+        qd = raw[qrows] + 0.5 * jax.random.normal(kq, (nq, d), jnp.float32)
         qd = qd / jnp.linalg.norm(qd, axis=1, keepdims=True)
+        del raw, centers
         _ = np.asarray(qd[:1])  # real sync (block_until_ready is a no-op)
         log("1M corpus synthesized on device")
 
