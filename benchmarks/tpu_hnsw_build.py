@@ -110,7 +110,7 @@ def main():
              build_s_cold=round(times[0], 1),
              build_s_warm=round(times[1], 1),
              recall_at_10_ef32=round(float(rec), 4),
-             layers=[len(l) for l in layers], ts="2026-08-17")
+             layers=[len(l) for l in layers], ts=time.strftime("%Y-%m-%d"))
         return
 
     if "A" in phase:
@@ -140,7 +140,7 @@ def main():
              engine="wave build expand=8 route-beam",
              build_s_cold=round(cold_s, 1), build_s_warm=round(warm_s, 1),
              recall_at_10_ef32=round(float(rec), 4),
-             layers=h.get_num_nodes_in_layers(), ts="2026-08-17")
+             layers=h.get_num_nodes_in_layers(), ts=time.strftime("%Y-%m-%d"))
 
     if "B" in phase:
         from vers_tpu.utils.profiling import timed_device
@@ -203,7 +203,7 @@ def main():
              build_s=round(build_s, 1), layers=layer_counts,
              recall_at_10_ef32=round(float(rec), 4),
              qps_ef32_depth8=round(qps),
-             ts="2026-08-17")
+             ts=time.strftime("%Y-%m-%d"))
 
 
 if __name__ == "__main__":
