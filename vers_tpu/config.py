@@ -104,9 +104,13 @@ class HNSWConfig:
     # behavior). See PARITY.md D13.
     ef_route: Optional[int] = 8
     # Query-beam expansion fan-out: how many best unexpanded beam
-    # entries expand per lockstep iteration (construction beams use 8;
-    # see ops/hnsw_build.py).
-    beam_expand: int = 4
+    # entries expand per lockstep iteration (construction beams use the
+    # same default; see ops/hnsw_build.py). Measured at 131k x 300
+    # ef=32: expand=8 is 2.3x the qps of expand=4 at equal recall
+    # (13.8k vs 6.0k @ 0.996) — the per-step gather cost is linear in
+    # expand while step count shrinks ~expand-fold, so the fixed
+    # per-iteration costs (merge top-k, dup mask) amortize.
+    beam_expand: int = 8
     # Cap on the query beam's lockstep iterations. None -> the legacy
     # bound max(4*ef, 64); a tight cap trades straggler-query recall
     # for wall-clock (A/B in benchmarks/tpu_query_beam_ab.py).
