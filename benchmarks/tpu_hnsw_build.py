@@ -185,15 +185,31 @@ def main():
         layer_counts = idx.get_num_nodes_in_layers()
         log(f"1M build: {build_s:.1f}s layers={layer_counts}")
 
-        # recall + throughput probe at ef=32
+        # optional graph snapshot for query-side iteration w/o rebuilds
+        save_to = os.environ.get("GRAPH_SAVE")
+        if save_to:
+            arrs = {}
+            for l, (mem, adj, dist) in enumerate(idx._pending_graph):
+                arrs[f"mem{l}"] = mem
+                arrs[f"adj{l}"] = adj
+                arrs[f"dist{l}"] = dist
+            np.savez(save_to, n=n, layers=len(idx._pending_graph), **arrs)
+            log(f"graph saved to {save_to}")
+
+        # recall + throughput probe, ef sweep
         _, ti = distance_topk(qd, vecs, n, 10)
         truth = np.asarray(ti)
-        sec, res = timed_device(
-            idx.search_batch_device, qd, 10, warmup=1, iters=3, depth=8
-        )
-        rec = recall_at_k(np.asarray(res[1]), truth)
-        qps = nq / sec
-        log(f"1M query ef=32: recall@10={rec:.4f} qps={qps:,.0f}")
+        probes = {}
+        for ef in (32, 64):
+            idx.ef_search = ef
+            idx._device_cache = None
+            sec, res = timed_device(
+                idx.search_batch_device, qd, 10, warmup=1, iters=3, depth=8
+            )
+            rec = recall_at_k(np.asarray(res[1]), truth)
+            qps = nq / sec
+            probes[ef] = (rec, qps)
+            log(f"1M query ef={ef}: recall@10={rec:.4f} qps={qps:,.0f}")
 
         emit(config="wiki1m-hnsw-device-build", n=n, d=d,
              params="L=12 efc=100 M=24 (main.rs:70-79)",
@@ -201,8 +217,10 @@ def main():
                     "device-resident",
              wave_cap=wave_cap,
              build_s=round(build_s, 1), layers=layer_counts,
-             recall_at_10_ef32=round(float(rec), 4),
-             qps_ef32_depth8=round(qps),
+             recall_at_10_ef32=round(float(probes[32][0]), 4),
+             qps_ef32_depth8=round(probes[32][1]),
+             recall_at_10_ef64=round(float(probes[64][0]), 4),
+             qps_ef64_depth8=round(probes[64][1]),
              ts=time.strftime("%Y-%m-%d"))
 
 
