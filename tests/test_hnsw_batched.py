@@ -222,3 +222,39 @@ def test_slack_columns_cleared_after_build(corpus):
         assert adj.shape[1] == deg + slack
         assert (adj[:, deg:] == -1).all(), f"layer {l} slack not cleared"
         assert np.isinf(dist[:, deg:]).all()
+
+
+def test_route_scan_vs_beam(corpus):
+    # the brute-force layer-1 routing scan (route_mode="scan", the
+    # default) must match or beat the greedy routing-beam descent on
+    # recall, for both the wave-built (pending) and materialized caches
+    import dataclasses
+
+    x = corpus
+    idx = HNSWIndex.build_index_batched(4, 48, 32, 8, x, seed=9)
+    q = x[:64]
+    truth = np.argsort(-(q @ x.T), axis=1)[:, :10]
+    base = idx.config
+    assert base.route_mode == "scan"
+    cache = idx._ensure_device_cache()
+    assert cache["l1_tab"] is not None
+    assert cache["n1"] == idx.get_num_nodes_in_layers()[1]
+    r_scan = recall_at_k(idx.search_batch(q, 10).ids, truth)
+    idx.config = dataclasses.replace(base, route_mode="beam")
+    r_beam = recall_at_k(idx.search_batch(q, 10).ids, truth)
+    idx.config = base
+    assert r_scan >= r_beam - 0.02
+    assert r_scan > 0.85
+    # seeds knob: a single seed still works
+    idx.config = dataclasses.replace(base, route_seeds=1)
+    r_one = recall_at_k(idx.search_batch(q, 10).ids, truth)
+    idx.config = base
+    assert r_one > 0.7
+
+    # materialized-dict cache path builds the same l1 table
+    idx._materialize_layers()
+    idx._device_cache = None
+    cache2 = idx._ensure_device_cache()
+    assert cache2["n1"] == cache["n1"]
+    r_mat = recall_at_k(idx.search_batch(q, 10).ids, truth)
+    assert abs(r_mat - r_scan) < 0.05

@@ -115,3 +115,20 @@ class HNSWConfig:
     # bound max(4*ef, 64); a tight cap trades straggler-query recall
     # for wall-clock (A/B in benchmarks/tpu_query_beam_ab.py).
     beam_steps: Optional[int] = None
+    # Batched-query routing strategy. "scan" (default): ONE brute-force
+    # bf16 MXU scan over the layer-1 node subset (~n/(2M) rows — every
+    # node of every layer >= 1 is in layer 1, so the scan strictly
+    # dominates a routing descent) picks the top-``route_seeds`` entry
+    # points and seeds the layer-0 beam with all of them. "beam": the
+    # reference-shaped greedy descent through layers L-2..1 (PARITY
+    # D13). The routing beams are serial random-gather chains
+    # (row-op-bound); the scan is a dense matmul — measured 2.9x qps
+    # at 131k x 300 ef=32 (43.0k vs 14.9k, recall 0.9888 vs 0.9884;
+    # benchmarks/tpu_route_scan_ab.py) with equal-or-better recall
+    # (the seeds are exact layer-1 nearest, not greedy-routed
+    # approximations).
+    route_mode: str = "scan"
+    # Entry seeds the routing scan feeds the layer-0 beam. 0 -> auto
+    # (min(ef_search, 8); the A/B's best — more seeds only widen the
+    # initial gather, recall is flat from 1 to 32 seeds).
+    route_seeds: int = 0

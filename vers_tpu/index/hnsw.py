@@ -34,7 +34,7 @@ from vers_tpu.core import as_query_matrix, device_id_map, round_up, to_device
 from vers_tpu.index.base import Index
 from vers_tpu.io.bincode import Reader, Writer
 from vers_tpu.models.candidates import AdjacencyItem, DistanceCandidatePair, SearchResult
-from vers_tpu.ops.beam import full_descent
+from vers_tpu.ops.beam import full_descent, full_descent_scan
 
 
 class _Layer:
@@ -542,11 +542,46 @@ class HNSWIndex(Index):
         else:
             vecs_nav = vecs_dev
             nav_scales = None
+        # Layer-1 member table for brute-force routing (ops/beam.py
+        # full_descent_scan): the contiguous bf16 vectors of every
+        # layer-1 node (~n/(2M) rows). One MXU scan over this table
+        # replaces the whole routing descent. Built once per cache.
+        if pending is not None and identity:
+            l1_mem = (
+                np.asarray(pending[1][0], np.int64)
+                if len(pending) > 1
+                else np.zeros((0,), np.int64)
+            )
+        elif len(self.layers) > 1:
+            l1_mem = np.fromiter(
+                (compact[nid] for nid in self.layers[1].adjacency
+                 if nid in compact),
+                np.int64,
+            )
+        else:
+            l1_mem = np.zeros((0,), np.int64)
+        n1 = int(l1_mem.size)
+        if n1:
+            n1_pad = round_up(n1, 8)
+            l1_members = jnp.asarray(
+                np.pad(l1_mem, (0, n1_pad - n1)).astype(np.int32)
+            )
+            l1_tab = jnp.take(vecs_dev, l1_members, axis=0).astype(
+                jnp.bfloat16
+            )
+            l1_tab = jnp.where(
+                (jnp.arange(n1_pad) < n1)[:, None], l1_tab, 0
+            )
+        else:
+            l1_members = l1_tab = None
         self._device_cache = dict(
             vecs=vecs_dev,
             vecs_nav=vecs_nav,
             nav_scales=nav_scales,
             adjs=adjs,
+            l1_members=l1_members,
+            l1_tab=l1_tab,
+            n1=n1,
             node_ids=np.asarray(node_ids, dtype=np.int64),
             node_ids_dev=device_id_map(node_ids),
             entry=(
@@ -576,6 +611,30 @@ class HNSWIndex(Index):
         expand = max(1, getattr(self.config, "beam_expand", 4))
         steps_cap = getattr(self.config, "beam_steps", None)
         scales = cache["nav_scales"]
+        route_mode = getattr(self.config, "route_mode", "scan")
+        if route_mode == "scan" and cache.get("l1_tab") is not None:
+            # ONE dispatch: brute-force MXU routing scan over the
+            # layer-1 subset + multi-seeded layer-0 beam + f32 rescore
+            # (ops/beam.py full_descent_scan). Replaces the per-layer
+            # routing beams entirely — see route_mode in config.py.
+            seeds = getattr(self.config, "route_seeds", 0) or min(ef, 8)
+            return full_descent_scan(
+                qdev,
+                cache["vecs"],
+                cache["vecs_nav"],
+                scales if scales is not None else jnp.zeros((1,), jnp.float32),
+                cache["adjs"][0],
+                cache["l1_tab"],
+                cache["l1_members"],
+                cache["n1"],
+                top_k=top_k,
+                ef=ef,
+                seeds=seeds,
+                rescore=cache["vecs_nav"].dtype != cache["vecs"].dtype,
+                has_scales=scales is not None,
+                expand=expand,
+                steps_cap=steps_cap,
+            )
         # ONE dispatch: whole descent (routing beams + layer-0 beam +
         # f32 rescore) compiled together (ops/beam.py full_descent)
         return full_descent(

@@ -25,7 +25,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from vers_tpu.ops.topk import topk_smallest
+from vers_tpu.ops.topk import fused_scan_topk, topk_smallest
 
 _BIG = jnp.inf
 
@@ -37,14 +37,20 @@ def beam_search_layer(
     queries,      # (Q, d) f32
     vecs,         # (n_pad, d) node vectors (compact ids)
     adj,          # (n_pad, deg) int32 neighbour compact ids, -1 pad
-    entry,        # (Q,) int32 compact entry node per query
+    entry,        # (Q,) or (Q, S) int32 compact entry node(s) per query
     ef: int,
     max_steps: int,
     expand_per_step: int = 4,
     scales=None,  # (n_pad,) f32 per-row dequant scales for an int8 table
+    entry_d=None, # (Q, S) f32 precomputed seed distances (optional)
 ):
     """Returns (beam_d (Q, ef) ascending, beam_i (Q, ef) int32; -1/inf
     padding). Emulates one HNSWLayer::search with ef candidates.
+
+    ``entry`` may carry S seed nodes per query (e.g. the top-S of a
+    brute-force routing scan); the beam starts from all of them. Seeds
+    must be distinct per query (or -1 padding); ``entry_d`` supplies
+    their distances when the caller already computed them.
 
     ``expand_per_step``: how many best unexpanded beam entries expand
     per iteration. 1 = classic sequential best-first; 4 = same frontier
@@ -80,8 +86,14 @@ def beam_search_layer(
         return jnp.where(ids >= 0, 1.0 - dots, _BIG)
 
     entry = entry.astype(jnp.int32)
-    beam_i = jnp.full((q_n, ef), -1, jnp.int32).at[:, 0].set(entry)
-    beam_d = jnp.full((q_n, ef), _BIG).at[:, 0].set(dist_to(entry[:, None])[:, 0])
+    if entry.ndim == 1:
+        entry = entry[:, None]
+    s = min(entry.shape[1], ef)
+    entry = entry[:, :s]
+    seed_d = dist_to(entry) if entry_d is None else entry_d[:, :s]
+    seed_d = jnp.where(entry >= 0, seed_d, _BIG)
+    beam_i = jnp.full((q_n, ef), -1, jnp.int32).at[:, :s].set(entry)
+    beam_d = jnp.full((q_n, ef), _BIG).at[:, :s].set(seed_d)
     expanded = jnp.zeros((q_n, ef), bool)
     col = jax.lax.broadcasted_iota(jnp.int32, (q_n, ef), 1)
 
@@ -192,6 +204,80 @@ def full_descent(
         )
         if layer_idx != 0:
             entry = beam_i[:, 0]
+    if rescore:
+        beam_d, beam_i = rescore_cosine(queries, vecs_f32, beam_i, top_k)
+    return beam_d[:, :top_k], beam_i[:, :top_k]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "top_k", "ef", "seeds", "rescore", "has_scales", "expand",
+        "steps_cap", "scan_chunk",
+    ),
+)
+def full_descent_scan(
+    queries,      # (Q, d) f32
+    vecs_f32,     # (n_pad, d) f32 (rescore table)
+    vecs_nav,     # (n_pad, d) nav dtype
+    scales,       # (n_pad,) f32 (int8 dequant) or (1,) dummy
+    adj0,         # (n_pad, deg) int32 layer-0 adjacency
+    l1_tab,       # (n1_pad, d) bf16 layer-1 member vectors, contiguous
+    l1_members,   # (n1_pad,) int32 compact node id of each l1 row
+    n1,           # live rows of l1_tab (traced ok)
+    top_k: int,
+    ef: int,
+    seeds: int,
+    rescore: bool,
+    has_scales: bool,
+    expand: int = 8,
+    steps_cap=None,
+    scan_chunk: int = 16384,
+):
+    """Query descent with BRUTE-FORCE ROUTING: instead of greedy beam
+    routing through layers L-2..1 (the reference's descent,
+    `hnsw.rs:516-541`), one MXU matmul scan over the layer-1 node
+    subset finds the exact (within bf16) top-``seeds`` entry points,
+    which seed the layer-0 beam directly.
+
+    Rationale (TPU-first): upper HNSW layers exist only to cheaply
+    locate an entry point. Every node of every layer >= 1 is also a
+    member of layer 1 (HNSW nesting invariant), so scanning layer 1
+    strictly dominates any routing descent — and on TPU that scan is
+    a dense bf16 matmul over ~n/(2M) rows (MXU, ~free) while beam
+    routing is a serial chain of random row gathers (row-op-bound,
+    the measured bottleneck: ~15.5 ns/row regardless of dtype). The
+    multi-seed start also warms the layer-0 beam with ``seeds`` good
+    candidates instead of one, cutting its step count.
+
+    Returns (d (Q, top_k), ids (Q, top_k))."""
+    q_scan = queries.astype(l1_tab.dtype)
+    seed_d, seed_pos = fused_scan_topk(
+        q_scan,
+        l1_tab,
+        n1,
+        min(seeds, ef),
+        metric="cosine",
+        chunk_size=scan_chunk,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    n1_pad = l1_members.shape[0]
+    seed_ids = jnp.where(
+        seed_pos >= 0,
+        jnp.take(l1_members, jnp.clip(seed_pos, 0, n1_pad - 1)),
+        -1,
+    )
+    beam_d, beam_i = beam_search_layer(
+        queries,
+        vecs_nav,
+        adj0,
+        seed_ids,
+        ef=ef,
+        max_steps=steps_cap or max(4 * ef, 64),
+        expand_per_step=min(max(1, expand), ef),
+        scales=scales if has_scales else None,
+        entry_d=seed_d,
+    )
     if rescore:
         beam_d, beam_i = rescore_cosine(queries, vecs_f32, beam_i, top_k)
     return beam_d[:, :top_k], beam_i[:, :top_k]
