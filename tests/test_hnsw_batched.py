@@ -258,3 +258,25 @@ def test_route_scan_vs_beam(corpus):
     assert cache2["n1"] == cache["n1"]
     r_mat = recall_at_k(idx.search_batch(q, 10).ids, truth)
     assert abs(r_mat - r_scan) < 0.05
+
+
+def test_route_scan_build_recall(corpus):
+    # brute-force-routed construction (build_graph(route_scan=True)):
+    # same layer statistics as the beam-routed wave build and recall
+    # parity within tolerance on the standard query path
+    x = corpus
+    q = x[:64]
+    truth = np.argsort(-(q @ x.T), axis=1)[:, :10]
+    beam = HNSWIndex.build_index_batched(4, 48, 32, 8, x, seed=5, wave_cap=128)
+    scan = HNSWIndex.build_index_batched(
+        4, 48, 32, 8, x, seed=5, wave_cap=128, route_scan=True
+    )
+    # membership is drawn up front from the same seed -> identical sizes
+    assert scan.get_num_nodes_in_layers() == beam.get_num_nodes_in_layers()
+    r_beam = recall_at_k(beam.search_batch(q, 10).ids, truth)
+    r_scan = recall_at_k(scan.search_batch(q, 10).ids, truth)
+    assert r_scan > r_beam - 0.05
+    assert r_scan > 0.8
+    # host parity search works on the scan-built graph too
+    single = scan.search_approximate(x[3], 10)
+    assert single[0][0] == 3

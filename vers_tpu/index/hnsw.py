@@ -333,13 +333,15 @@ class HNSWIndex(Index):
         vectors: np.ndarray,
         seed: int = 0,
         wave_cap: int = 1024,
+        **build_kwargs,
     ) -> "HNSWIndex":
         """TPU wave-parallel construction (`vers_tpu.ops.hnsw_build`):
         same parameters and layer statistics as ``build_index`` but
         built with batched on-device beam searches instead of the
         reference's sequential host loop. Graph differs node-by-node
         (waves freeze the graph within a batch); recall parity is
-        asserted in tests."""
+        asserted in tests. Extra kwargs forward to ``build_graph``
+        (expand/route_scan/...)."""
         from vers_tpu.ops.hnsw_build import build_graph
 
         index = cls(ef_construction, ef_search, num_layers, num_neighbours, seed=seed)
@@ -353,7 +355,7 @@ class HNSWIndex(Index):
             index.dim = vectors.shape[1]
         _, index._pending_graph = build_graph(
             vectors, num_layers, ef_construction, num_neighbours,
-            seed=seed, wave_cap=wave_cap, as_arrays=True,
+            seed=seed, wave_cap=wave_cap, as_arrays=True, **build_kwargs,
         )
         return index
 
@@ -368,6 +370,7 @@ class HNSWIndex(Index):
         n_valid: Optional[int] = None,
         seed: int = 0,
         wave_cap: int = 1024,
+        **build_kwargs,
     ) -> "HNSWIndex":
         """Fully device-resident build: ``corpus`` is an (n_pad, d) f32
         jax array already on device (rows padded to a multiple of 128;
@@ -399,6 +402,7 @@ class HNSWIndex(Index):
         _, index._pending_graph = build_graph(
             index._corpus_dev, num_layers, ef_construction, num_neighbours,
             seed=seed, wave_cap=wave_cap, n_valid=n, as_arrays=True,
+            **build_kwargs,
         )
         return index
 

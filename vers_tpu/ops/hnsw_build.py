@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 
 from vers_tpu.core import round_up, to_device
-from vers_tpu.ops.topk import topk_smallest
+from vers_tpu.ops.topk import fused_scan_topk, topk_smallest
 
 _INF = jnp.inf
 
@@ -55,11 +55,13 @@ def draw_insertion_layers(n: int, num_layers: int, m: int, seed: int) -> np.ndar
 
 
 def _beam(q, vecs, adj, rank_map, entry, ef: int, max_steps: int,
-          expand: int = 8, dedup_self: bool = False):
+          expand: int = 8, dedup_self: bool = False, entry_d=None):
     """Masked beam search over one layer. ``adj`` rows are compact
     (layer-local); ``rank_map`` (n_pad,) maps global id -> compact row
-    (-1 absent). Entry (W,) global ids. Returns (beam_d, beam_i)
-    ascending, beam_i global ids (-1 pad).
+    (-1 absent). Entry (W,) or (W, S) global ids — S>1 seeds the beam
+    with multiple start nodes (must be distinct per row, -1 padded;
+    ``entry_d`` supplies their distances when already computed).
+    Returns (beam_d, beam_i) ascending, beam_i global ids (-1 pad).
 
     ``expand``: best unexpanded entries expanded per step (same
     widened frontier as the query beam, `ops/beam.py` — ~expand× fewer
@@ -83,8 +85,15 @@ def _beam(q, vecs, adj, rank_map, entry, ef: int, max_steps: int,
         )
         return jnp.where(ids >= 0, 1.0 - dots, _INF)
 
-    beam_i = jnp.full((w, ef), -1, jnp.int32).at[:, 0].set(entry.astype(jnp.int32))
-    beam_d = jnp.full((w, ef), _INF).at[:, 0].set(dist_to(entry[:, None])[:, 0])
+    entry = entry.astype(jnp.int32)
+    if entry.ndim == 1:
+        entry = entry[:, None]
+    s = min(entry.shape[1], ef)
+    entry = entry[:, :s]
+    seed_d = dist_to(entry) if entry_d is None else entry_d[:, :s]
+    seed_d = jnp.where(entry >= 0, seed_d, _INF)
+    beam_i = jnp.full((w, ef), -1, jnp.int32).at[:, :s].set(entry)
+    beam_d = jnp.full((w, ef), _INF).at[:, :s].set(seed_d)
     expanded = jnp.zeros((w, ef), bool)
     col = jax.lax.broadcasted_iota(jnp.int32, (w, ef), 1)
 
@@ -264,7 +273,9 @@ def make_wave_step(num_layers: int, m: int, efc: int, degs: List[int],
                    ef_route: int = 8, expand: int = 8,
                    route_expand: int = 4, dedup_self: bool = False,
                    beam_steps: int | None = None,
-                   route_steps: int | None = 16):
+                   route_steps: int | None = 16,
+                   route_scan: bool = False, seed_count: int = 1,
+                   scan_chunk: int = 16384):
     """Build the jitted per-wave function. degs[l] = forward degree cap
     of layer l (m_l + 1 for the heuristic's m+1 quirk); adjacency
     buffers are (rows, degs[l] + slack).
@@ -298,7 +309,124 @@ def make_wave_step(num_layers: int, m: int, efc: int, degs: List[int],
     ``route_expand``: expansion fan-out of the routing beams — their
     per-step gather is route_expand*deg wide, so a narrow fan-out cuts
     the dominant cost; the beam is only ef_route deep, so fewer
-    parallel expansions cost little extra depth."""
+    parallel expansions cost little extra depth.
+
+    ``route_scan``: replace ALL upper-layer work with brute-force MXU
+    scans (the build-side twin of the query path's route_mode="scan").
+    Waves insert in global-id order and per-layer membership is drawn
+    up front, so the already-built members of layer l are a contiguous
+    PREFIX of its member table — ``n_built[l]`` rows of ``tabs[l]``.
+    Layer >= 1 insertion candidates come from an EXACT top-efc scan of
+    that prefix (better edges than a beam's approximation; the tables
+    are ~n/M^l rows so the matmuls are tiny), routing beams disappear
+    entirely, and the layer-0 insertion beam starts from the top-
+    ``seed_count`` layer-1 members instead of a routed entry point.
+    ``seed_count`` defaults to 1 for construction: unlike the query
+    path (8 seeds, recall-flat), multi-seeding the INSERTION beam
+    narrows its exploration and the selected edges lose diversity —
+    measured -0.008 recall at 8k/3 seeds with s=8, parity with s=1.
+    The scan wave_step signature gains (tabs, tab_members, n_built).
+
+    MEASURED NEUTRAL, kept non-default: unlike the query side (2.9x),
+    construction is dominated by the layer-0 insertion beam, which both
+    modes share — steady-state wave_step 627.6ms (scan) vs 651.8ms
+    (beam) at 1M shapes, 301.8 vs 310.8 at 131k; the step-capped
+    routing beams (route_steps=16) cost only ~25ms/wave, and the scan
+    graphs compile ~1.7x slower (full A/B: 276.6s vs 126.6s warm at
+    131k — all compile/executable-load overhead, recall 0.9891 vs
+    0.9890; benchmarks/tpu_build_scan_ab.py)."""
+
+    if route_scan:
+
+        @functools.partial(jax.jit, donate_argnums=(2, 3))
+        def wave_step_scan(vecs, rank_maps, adjs, dists, wave_ids, ins_l,
+                           entry, tabs, tab_members, n_built):
+            w = wave_ids.shape[0]
+            n_pad = vecs.shape[0]
+            alive = wave_ids >= 0
+            q = jnp.take(vecs, jnp.clip(wave_ids, 0, n_pad - 1), axis=0)
+
+            new_adjs = list(adjs)
+            new_dists = list(dists)
+            for l in range(num_layers - 1, 0, -1):
+                c = min(sub_caps[l], w)
+                if c == 0:
+                    continue
+                deg = degs[l]
+                rows_l = tabs[l].shape[0]
+                kk = min(efc, rows_l)
+                cd, ci_pos = fused_scan_topk(
+                    q[:c], tabs[l], n_built[l], kk, metric="cosine",
+                    chunk_size=min(scan_chunk, rows_l),
+                    precision=jax.lax.Precision.DEFAULT,
+                )
+                ci = jnp.where(
+                    ci_pos >= 0,
+                    jnp.take(tab_members[l],
+                             jnp.clip(ci_pos, 0, rows_l - 1)),
+                    -1,
+                )
+                connect = alive[:c] & (ins_l[:c] >= l)
+                sel_d, sel_i = _heuristic_select(q[:c], vecs, cd, ci, m)
+                if sel_d.shape[1] < deg:
+                    padn = deg - sel_d.shape[1]
+                    sel_d = jnp.pad(sel_d, ((0, 0), (0, padn)),
+                                    constant_values=_INF)
+                    sel_i = jnp.pad(sel_i, ((0, 0), (0, padn)),
+                                    constant_values=-1)
+                else:
+                    sel_d = sel_d[:, :deg]
+                    sel_i = sel_i[:, :deg]
+                new_adjs[l], new_dists[l] = _commit_edges(
+                    new_adjs[l], new_dists[l], rank_maps[l],
+                    wave_ids[:c], sel_i, sel_d, connect, deg, slack,
+                )
+
+            # layer 0: seed the insertion beam with the exact nearest
+            # built layer-1 members (or the global entry when the
+            # graph has a single layer)
+            deg = degs[0]
+            if num_layers > 1:
+                rows_1 = tabs[1].shape[0]
+                s_k = max(1, min(seed_count, rows_1))
+                sd, s_pos = fused_scan_topk(
+                    q, tabs[1], n_built[1], s_k, metric="cosine",
+                    chunk_size=min(scan_chunk, rows_1),
+                    precision=jax.lax.Precision.DEFAULT,
+                )
+                seeds = jnp.where(
+                    s_pos >= 0,
+                    jnp.take(tab_members[1],
+                             jnp.clip(s_pos, 0, rows_1 - 1)),
+                    -1,
+                )
+                seed_d = sd
+            else:
+                seeds = jnp.broadcast_to(entry, (w,)).astype(jnp.int32)
+                seed_d = None
+            beam_d, beam_i = _beam(
+                q, vecs, new_adjs[0][:, :deg], rank_maps[0], seeds, efc,
+                max_steps=beam_steps or 4 * efc, expand=expand,
+                dedup_self=dedup_self, entry_d=seed_d,
+            )
+            connect = alive & (ins_l >= 0)
+            sel_d, sel_i = _heuristic_select(q, vecs, beam_d, beam_i, 2 * m)
+            if sel_d.shape[1] < deg:
+                padn = deg - sel_d.shape[1]
+                sel_d = jnp.pad(sel_d, ((0, 0), (0, padn)),
+                                constant_values=_INF)
+                sel_i = jnp.pad(sel_i, ((0, 0), (0, padn)),
+                                constant_values=-1)
+            else:
+                sel_d = sel_d[:, :deg]
+                sel_i = sel_i[:, :deg]
+            new_adjs[0], new_dists[0] = _commit_edges(
+                new_adjs[0], new_dists[0], rank_maps[0],
+                wave_ids, sel_i, sel_d, connect, deg, slack,
+            )
+            return new_adjs, new_dists
+
+        return wave_step_scan
 
     @functools.partial(jax.jit, donate_argnums=(2, 3))
     def wave_step(vecs, rank_maps, adjs, dists, wave_ids, ins_l, entry):
@@ -402,6 +530,8 @@ def build_graph(
     beam_steps: int | None = "auto",
     route_steps: int | None = "auto",
     as_arrays: bool = False,
+    route_scan: bool = False,
+    seed_count: int = 1,
 ):
     """Run the full batched build. Returns (ins_layers (n,), per-layer
     adjacency dict {global_id: [(nbr_global_id, dist), ...]}).
@@ -419,7 +549,14 @@ def build_graph(
 
     ``vectors`` may be a device-resident jax array (already padded to a
     row multiple of 128); pass ``n_valid`` for the live row count then.
-    Host input is uploaded in bounded slices."""
+    Host input is uploaded in bounded slices.
+
+    ``route_scan``: brute-force MXU routing for construction (see
+    make_wave_step). Membership is drawn up front and waves insert in
+    global-id order, so layer l's already-built members are the first
+    ``searchsorted(members[l], wave_start)`` rows of a static per-layer
+    member table — upper-layer candidates and layer-0 entry seeds come
+    from exact scans of that prefix; routing beams are gone."""
     if isinstance(vectors, jax.Array):
         n_pad = vectors.shape[0]
         n = int(n_valid) if n_valid is not None else n_pad
@@ -482,6 +619,26 @@ def build_graph(
         adjs.append(jnp.full((rows, deg + slack), -1, jnp.int32))
         dists.append(jnp.full((rows, deg + slack), np.inf, jnp.float32))
 
+    # static per-layer member vector tables for route_scan: tabs[l]
+    # rows follow members[l] order (ascending global id), so the built
+    # prefix at any wave is contiguous. Nav dtype (the scan is a dense
+    # matmul; bf16 halves its bytes). Layer 0 gets a dummy — the scan
+    # path never reads it.
+    tabs = None
+    tab_members = None
+    if route_scan and num_layers > 1:
+        d = vecs.shape[1]
+        tabs = [jnp.zeros((8, d), vecs.dtype)]
+        tab_members = [jnp.zeros((8,), jnp.int32)]
+        for l in range(1, num_layers):
+            mem = members[l]
+            rows = max(8, 1 << (max(len(mem), 1) - 1).bit_length())
+            mem_pad = np.zeros((rows,), np.int64)
+            mem_pad[: len(mem)] = mem
+            mids = jnp.asarray(mem_pad, jnp.int32)
+            tabs.append(jnp.take(vecs, mids, axis=0))
+            tab_members.append(mids)
+
     # wave schedule: 1, then 8, 64, 512, ... up to wave_cap — coarse
     # growth keeps the number of distinct jit shapes (compiles) small
     order = np.arange(n)
@@ -505,6 +662,7 @@ def build_graph(
 
     for wave in waves[1:]:
         wsz = len(wave)
+        wave_start = int(wave[0])  # waves are contiguous id ranges
         bucket = 1 << (wsz - 1).bit_length()
         bucket = min(bucket, round_up(wave_cap, 8))
         # sort wave rows by insertion layer DESC so layer-l inserters
@@ -541,16 +699,31 @@ def build_graph(
                 expand=expand, route_expand=route_expand,
                 dedup_self=dedup_self, beam_steps=beam_steps,
                 route_steps=route_steps,
+                route_scan=tabs is not None, seed_count=seed_count,
             )
         ids = np.full((bucket,), -1, np.int64)
         ids[:wsz] = wave
         ins_w = np.full((bucket,), -1, np.int64)
         ins_w[:wsz] = ins[wave]
-        adjs, dists = step_fns[key](
-            vecs, rank_maps, adjs, dists,
-            jnp.asarray(ids, jnp.int32), jnp.asarray(ins_w, jnp.int32),
-            jnp.asarray(entry, jnp.int32),
-        )
+        if tabs is not None:
+            # built-prefix row counts per layer (traced — shapes stable)
+            n_built = jnp.asarray(
+                [np.searchsorted(members[l], wave_start)
+                 for l in range(num_layers)],
+                jnp.int32,
+            )
+            adjs, dists = step_fns[key](
+                vecs, rank_maps, adjs, dists,
+                jnp.asarray(ids, jnp.int32), jnp.asarray(ins_w, jnp.int32),
+                jnp.asarray(entry, jnp.int32),
+                tabs, tab_members, n_built,
+            )
+        else:
+            adjs, dists = step_fns[key](
+                vecs, rank_maps, adjs, dists,
+                jnp.asarray(ids, jnp.int32), jnp.asarray(ins_w, jnp.int32),
+                jnp.asarray(entry, jnp.int32),
+            )
 
     if as_arrays:
         return ins, [
