@@ -759,11 +759,14 @@ def _pallas_fused_core(
     )
 
     # per-rank unsort (stride q_pad_rank) + map to original rows + merge
+    iota_q = jnp.arange(q_n, dtype=jnp.int32)
     out_d, out_i = [], []
     for r in range(p):
         seg_d = jax.lax.dynamic_slice_in_dim(res_d, r * q_pad_rank, q_n, 0)
         seg_i = jax.lax.dynamic_slice_in_dim(res_i, r * q_pad_rank, q_n, 0)
-        inv = jnp.argsort(orders[r], stable=True)
+        # inverse permutation by scatter (a second stable argsort of the
+        # 16k-row order key is measurably slower on TPU)
+        inv = jnp.zeros((q_n,), jnp.int32).at[orders[r]].set(iota_q)
         pos = seg_i[inv]
         out_d.append(seg_d[inv])
         out_i.append(
@@ -771,6 +774,13 @@ def _pallas_fused_core(
         )
     all_d = jnp.concatenate(out_d, axis=1)
     all_i = jnp.concatenate(out_i, axis=1)
+    if p == 1 and all_d.shape[1] == top_k:
+        # single probe: the Pallas merge already emits each query's
+        # top_k in ascending extract-min order with distinct positions
+        # (pallas_topk._merge_topk), so the cross-probe dedup + final
+        # top-k below would be an identity — and its three row-wise
+        # (Q, top_k) sorts cost as much as the whole packed scan.
+        return all_d, all_i
     return merge_probe_results(all_d, all_i, top_k)
 
 
