@@ -219,15 +219,33 @@ def merge_probe_results(all_d, all_i, top_k: int):
     """Merge (Q, P*top_k) candidates from P probes: drop duplicate ids
     (a row can surface from several probes/trees), then final top-k.
     Returns (dists (Q, top_k), ids (Q, top_k))."""
-    q_n = all_d.shape[0]
-    pos_sorted = jnp.sort(all_i, axis=1)
-    dup_sorted = jnp.concatenate(
-        [jnp.zeros((q_n, 1), bool),
-         (pos_sorted[:, 1:] == pos_sorted[:, :-1]) & (pos_sorted[:, 1:] >= 0)],
-        axis=1,
-    )
-    rank = jnp.argsort(jnp.argsort(all_i, axis=1, stable=True), axis=1, stable=True)
-    dup = jnp.take_along_axis(dup_sorted, rank, axis=1)
+    q_n, w = all_d.shape
+    if w <= 64:
+        # small candidate widths (nprobe/tree count * top_k): mark j a
+        # duplicate if an earlier column holds the same id — O(w^2)
+        # compares on the VPU instead of three row-wise XLA sorts
+        # (row sorts at these widths are the slow path on TPU; same
+        # trick as the beam's visited-set dedup, ops/beam.py)
+        col = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+        dup = jnp.any(
+            (all_i[:, :, None] == all_i[:, None, :])
+            & (col < row)[None]
+            & (all_i[:, :, None] >= 0),
+            axis=2,
+        )
+    else:
+        pos_sorted = jnp.sort(all_i, axis=1)
+        dup_sorted = jnp.concatenate(
+            [jnp.zeros((q_n, 1), bool),
+             (pos_sorted[:, 1:] == pos_sorted[:, :-1])
+             & (pos_sorted[:, 1:] >= 0)],
+            axis=1,
+        )
+        rank = jnp.argsort(
+            jnp.argsort(all_i, axis=1, stable=True), axis=1, stable=True
+        )
+        dup = jnp.take_along_axis(dup_sorted, rank, axis=1)
     all_d = jnp.where(dup, jnp.inf, all_d)
     fin_d, sel = topk_smallest(all_d, top_k)
     fin_i = jnp.take_along_axis(all_i, sel, axis=1)
