@@ -8,7 +8,7 @@ Stages of `ops/binned._pallas_fused_core` at nprobe=1:
   pack   — per-rank stable argsort of bins + query gather + counts +
            workitem blocks
   scan   — pallas_packed_scan (the MXU kernel)
-  unsort — inverse argsort + s2o map + merge_probe_results
+  unsort — scatter inverse perm + s2o map (p==1: no merge)
 
 Run from /root/repo: python benchmarks/tpu_fused_stage_profile.py
 """
@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from vers_tpu.core import round_up
 from vers_tpu.index.ivfflat import IVFFlatIndex
-from vers_tpu.ops.binned import merge_probe_results, pairwise_distance
+from vers_tpu.ops.binned import pairwise_distance
 from vers_tpu.ops.pallas_binned import (
     _workitems_blocks,
     padded_group_layout,
@@ -118,13 +118,17 @@ def main():
 
     @jax.jit
     def unsort(res_d, res_i, order):
+        # mirror of the shipped nprobe=1 epilogue in _pallas_fused_core:
+        # scatter-based inverse perm, NO cross-probe merge (p==1 skip)
         seg_d = res_d[:q_n]
         seg_i = res_i[:q_n]
-        inv = jnp.argsort(order, stable=True)
+        inv = jnp.zeros((q_n,), jnp.int32).at[order].set(
+            jnp.arange(q_n, dtype=jnp.int32)
+        )
         pos = seg_i[inv]
         out_d = seg_d[inv]
         out_i = jnp.where(pos >= 0, padded["s2o"][jnp.clip(pos, 0, None)], -1)
-        return merge_probe_results(out_d, out_i, top_k)
+        return out_d, out_i
 
     probes = probe(qdev)
     q_stack, qbin_stack, qb, gb, order = pack(qdev, probes)

@@ -178,3 +178,50 @@ def test_batched_deficit_emulation_matches_parity_recall():
 
     assert rec_batched >= rec_single - 0.02, (rec_batched, rec_single)
     assert rec_batched > rec_fixed1  # the emulation actually helps
+
+
+def test_deep_degenerate_tree_codec_and_query(tmp_path):
+    """A 5000-deep single-chain tree (VERDICT r2 #6): the iterative
+    writer/parser must roundtrip it byte-identically with the default
+    recursion limit untouched, and the parity query path must descend
+    it without recursing."""
+    import sys
+
+    from vers_tpu.io.bincode import Writer
+
+    dim = 4
+    depth = 5000
+    n = depth + 1  # one member per leaf
+    p = str(tmp_path / "deep.index")
+    rng = np.random.default_rng(3)
+    values = rng.normal(size=(n, dim)).astype(np.float32)
+    with open(p, "wb") as fp:
+        w = Writer(fp)
+        w.u64(1)  # max_node_size
+        w.u64(1)  # num_trees
+        for i in range(depth):
+            w.u32(0)  # Inner
+            w.f32_array(np.full((dim,), 1.0, np.float32))
+            w.f32(-0.5)
+            w.u32(1)  # left = Leaf{[i]}
+            w.vec_u64(np.asarray([i], np.uint64))
+            # right child is the next Inner (chain continues)
+        w.u32(1)  # final right = Leaf{[depth]}
+        w.vec_u64(np.asarray([depth], np.uint64))
+        w.vec_f32_matrix(values)
+        w.vec_u64(np.arange(n, dtype=np.uint64))
+
+    limit = sys.getrecursionlimit()
+    try:
+        sys.setrecursionlimit(900)  # stricter than default: prove no recursion
+        idx = ANNIndex.load_index(p)  # dim inferred structurally
+        assert idx.dim == dim
+        p2 = str(tmp_path / "deep_rt.index")
+        idx.save_index(p2)
+        with open(p, "rb") as a, open(p2, "rb") as b:
+            assert a.read() == b.read()
+        res = idx.search_approximate(values[0], 3)
+        assert len(res) == 3
+        assert res[0][0] == 0  # the query point itself
+    finally:
+        sys.setrecursionlimit(limit)

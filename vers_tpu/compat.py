@@ -201,6 +201,9 @@ def test_wiki_ivfflat(
     """`vers_py.test_wiki_ivfflat` parity (`vers-py/src/lib.rs:144-170`):
     build an IVFFlat index and run the queen smoke harness (the shim
     wraps `utils::test_ivfflat`, which is `run_test` + build)."""
+    import os
+    import tempfile
+
     from vers_tpu.index.ivfflat import IVFFlatIndex
     from vers_tpu.utils.harness import run_test
 
@@ -208,10 +211,12 @@ def test_wiki_ivfflat(
     index = IVFFlatIndex.build_index(
         num_clusters, num_attempts, max_iterations, vectors
     )
-    return run_test(
-        index, "ivfflat.index", vectors, dict(word_to_idx),
-        dict(idx_to_word), test_embs,
-    )
+    # scratch save/reload file goes to the temp dir, not the CWD
+    with tempfile.TemporaryDirectory(prefix="vers_tpu_") as tmp:
+        return run_test(
+            index, os.path.join(tmp, "ivfflat.index"), vectors,
+            dict(word_to_idx), dict(idx_to_word), test_embs,
+        )
 
 
 def get_sum(v1, v2) -> np.ndarray:

@@ -104,9 +104,11 @@ def main(argv=None):
         )
     print(f"build: {time.perf_counter() - t0:.2f}s")
 
+    import tempfile
+
     results = run_test(
         index,
-        f"{args.index}.index",
+        os.path.join(tempfile.gettempdir(), f"vers_tpu_{args.index}.index"),
         vectors,
         dict(w2i),
         dict(i2w),

@@ -600,28 +600,40 @@ class ANNIndex(Index):
     def _tree_result(
         self, tree: _Tree, q: np.ndarray, n: int, lvl: int, v: int, cand: set
     ) -> int:
-        """Exact behavioral parity with `tree_result` (`lsh.rs:163-216`)."""
-        if lvl >= tree.split.shape[0]:
-            return 0
-        b = tree.bucket[lvl][v] if v < tree.bucket.shape[1] else -1
-        s = tree.split[lvl][v] if v < tree.split.shape[1] else -1
-        if s < 0:
-            members = tree.members[int(b)] if b >= 0 else []
-            if len(members) < n:
-                cand.update(members)
-                return len(members)
-            m = np.asarray(members, dtype=np.int64)
-            d2 = np.sum((self._values[m] - q[None, :]) ** 2, axis=1)
-            o = np.argsort(d2, kind="stable")[:n]
-            cand.update(int(m[i]) for i in o)
-            return n
-        above = float(tree.coeff[lvl][s] @ q + tree.const[lvl][s]) >= 0
-        main = 2 * int(s) + (1 if above else 0)
-        backup = 2 * int(s) + (0 if above else 1)
-        k = self._tree_result(tree, q, n, lvl + 1, main, cand)
-        if k < n:
-            k += self._tree_result(tree, q, n - k, lvl + 1, backup, cand)
-        return k
+        """Exact behavioral parity with `tree_result` (`lsh.rs:163-216`),
+        expressed as an explicit-stack DFS (depth-proof; adds can deepen
+        a tree arbitrarily). The recursive budget threading is
+        equivalent to one global remaining counter because the DFS
+        visits a main subtree completely before its sibling backup, and
+        backup nodes are only expanded while the deficit persists."""
+        remaining = n
+        stack = [(lvl, v)]
+        while stack:
+            lvl, v = stack.pop()
+            if remaining <= 0:
+                break
+            if lvl >= tree.split.shape[0]:
+                continue
+            b = tree.bucket[lvl][v] if v < tree.bucket.shape[1] else -1
+            s = tree.split[lvl][v] if v < tree.split.shape[1] else -1
+            if s < 0:
+                members = tree.members[int(b)] if b >= 0 else []
+                if len(members) < remaining:
+                    cand.update(members)
+                    remaining -= len(members)
+                else:
+                    m = np.asarray(members, dtype=np.int64)
+                    d2 = np.sum((self._values[m] - q[None, :]) ** 2, axis=1)
+                    o = np.argsort(d2, kind="stable")[:remaining]
+                    cand.update(int(m[i]) for i in o)
+                    remaining = 0
+                continue
+            above = float(tree.coeff[lvl][s] @ q + tree.const[lvl][s]) >= 0
+            main = 2 * int(s) + (1 if above else 0)
+            backup = 2 * int(s) + (0 if above else 1)
+            stack.append((lvl + 1, backup))
+            stack.append((lvl + 1, main))
+        return n - remaining
 
     def search_approximate(self, query, top_k: int) -> List[Tuple[int, float]]:
         self._rebuild_dirty()
@@ -638,37 +650,36 @@ class ANNIndex(Index):
 
     # -- persistence (bincode parity: `lsh.rs:31-55` layout) -------------
 
-    def _write_node(self, w: Writer, tree: _Tree, lvl: int, v: int) -> None:
-        s = tree.split[lvl][v] if lvl < tree.split.shape[0] else -1
-        b = tree.bucket[lvl][v] if lvl < tree.bucket.shape[0] else -1
-        if s >= 0:
-            w.u32(0)  # Node::Inner variant tag
-            w.f32_array(tree.coeff[lvl][s])
-            w.f32(float(tree.const[lvl][s]))
-            self._write_node(w, tree, lvl + 1, 2 * int(s))      # left = below
-            self._write_node(w, tree, lvl + 1, 2 * int(s) + 1)  # right = above
-        else:
-            w.u32(1)  # Node::Leaf
-            members = tree.members[int(b)] if b >= 0 else []
-            w.vec_u64(np.asarray(members, dtype=np.uint64))
+    def _write_tree(self, w: Writer, tree: _Tree) -> None:
+        """Pre-order bincode emit of one tree via an explicit stack —
+        depth-proof (adds can deepen a tree past any recursion limit)."""
+        stack = [(0, 0)]
+        while stack:
+            lvl, v = stack.pop()
+            s = tree.split[lvl][v] if lvl < tree.split.shape[0] else -1
+            b = tree.bucket[lvl][v] if lvl < tree.bucket.shape[0] else -1
+            if s >= 0:
+                w.u32(0)  # Node::Inner variant tag
+                w.f32_array(tree.coeff[lvl][s])
+                w.f32(float(tree.const[lvl][s]))
+                # pre-order: left (below) before right (above)
+                stack.append((lvl + 1, 2 * int(s) + 1))
+                stack.append((lvl + 1, 2 * int(s)))
+            else:
+                w.u32(1)  # Node::Leaf
+                members = tree.members[int(b)] if b >= 0 else []
+                w.vec_u64(np.asarray(members, dtype=np.uint64))
 
     def save_index(self, file_path: str) -> None:
         self._rebuild_dirty()
-        import sys
-
-        old_limit = sys.getrecursionlimit()
-        sys.setrecursionlimit(max(old_limit, 10000))
-        try:
-            with open(file_path, "wb") as fp:
-                w = Writer(fp)
-                w.u64(self.max_node_size)
-                w.u64(len(self._trees))
-                for tree in self._trees:
-                    self._write_node(w, tree, 0, 0)
-                w.vec_f32_matrix(self._values)
-                w.vec_u64(self._ids.astype(np.uint64))
-        finally:
-            sys.setrecursionlimit(old_limit)
+        with open(file_path, "wb") as fp:
+            w = Writer(fp)
+            w.u64(self.max_node_size)
+            w.u64(len(self._trees))
+            for tree in self._trees:
+                self._write_tree(w, tree)
+            w.vec_f32_matrix(self._values)
+            w.vec_u64(self._ids.astype(np.uint64))
 
     @classmethod
     def load_index(
@@ -696,16 +707,25 @@ class ANNIndex(Index):
 
 
 def _parse_node(r: Reader, dim: int):
-    tag = r.u32()
-    if tag == 0:
-        coeff = r.f32_array(dim)
-        const = r.f32()
-        left = _parse_node(r, dim)
-        right = _parse_node(r, dim)
-        return ("inner", coeff, const, left, right)
-    if tag == 1:
-        return ("leaf", r.vec_u64().astype(np.int64))
-    raise ValueError(f"bad Node enum tag {tag}")
+    """Pre-order bincode parse of one tree via an explicit hole stack
+    (depth-proof). Inner nodes are ["inner", coeff, const, left, right]
+    lists (same positional scheme the recursive tuples used)."""
+    root = [None]
+    stack = [(root, 0)]  # (container, slot) awaiting the next node
+    while stack:
+        holder, slot = stack.pop()
+        tag = r.u32()
+        if tag == 0:
+            node = ["inner", r.f32_array(dim), r.f32(), None, None]
+            holder[slot] = node
+            # pre-order: fill left (slot 3) before right (slot 4)
+            stack.append((node, 4))
+            stack.append((node, 3))
+        elif tag == 1:
+            holder[slot] = ("leaf", r.vec_u64().astype(np.int64))
+        else:
+            raise ValueError(f"bad Node enum tag {tag}")
+    return root[0]
 
 
 def _raw_to_tables(raw, n: int, dim: int) -> _Tree:

@@ -225,7 +225,11 @@ def merge_probe_results(all_d, all_i, top_k: int):
         # duplicate if an earlier column holds the same id — O(w^2)
         # compares on the VPU instead of three row-wise XLA sorts
         # (row sorts at these widths are the slow path on TPU; same
-        # trick as the beam's visited-set dedup, ops/beam.py)
+        # trick as the beam's visited-set dedup, ops/beam.py).
+        # NOTE: the (Q, w, w) bool intermediate is also a MEMORY bound,
+        # not just a speed crossover — at Q=16k, w=64 it is ~67M
+        # elements per merge; re-measure HBM pressure before widening
+        # this cutoff.
         col = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
         row = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
         dup = jnp.any(
@@ -298,11 +302,15 @@ def unsort_map_merge(res_d, res_i, orders, sorted_to_orig, top_k: int, q_n: int)
     """(P*Q rows of packed-scan output) -> per-probe unsort, map to
     original rows, dedup, final top-k. Single device program."""
     p = orders.shape[0]
+    iota_q = jnp.arange(q_n, dtype=jnp.int32)
     out_d, out_i = [], []
     for r in range(p):
         seg_d = jax.lax.dynamic_slice_in_dim(res_d, r * q_n, q_n, 0)
         seg_i = jax.lax.dynamic_slice_in_dim(res_i, r * q_n, q_n, 0)
-        inv = jnp.argsort(orders[r], stable=True)
+        # inverse permutation by scatter — same win as the Pallas
+        # epilogue (_pallas_fused_core): a second stable argsort of the
+        # 16k-row order key is measurably slower on TPU
+        inv = jnp.zeros((q_n,), jnp.int32).at[orders[r]].set(iota_q)
         pos = seg_i[inv]
         d = seg_d[inv]
         out_i.append(
@@ -311,6 +319,12 @@ def unsort_map_merge(res_d, res_i, orders, sorted_to_orig, top_k: int, q_n: int)
         out_d.append(d)
     all_d = jnp.concatenate(out_d, axis=1)
     all_i = jnp.concatenate(out_i, axis=1)
+    if p == 1 and all_d.shape[1] == top_k:
+        # single probe: the packed scan already emits each query's
+        # top_k ascending with distinct positions, so the cross-probe
+        # dedup + final top-k would be an identity (see the same skip
+        # in _pallas_fused_core)
+        return all_d, all_i
     return merge_probe_results(all_d, all_i, top_k)
 
 

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import NamedSharding
 
 from vers_tpu.index.hnsw import HNSWIndex
@@ -73,7 +73,7 @@ def _sharded_descent(
         mesh=mesh,
         in_specs=(P(SHARD_AXIS), P(), P(), P()) + (P(),) * len(adjs),
         out_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(queries, vecs, vecs_nav, scales, *adjs)
 

@@ -25,7 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from vers_tpu.core import round_up
 from vers_tpu.index.base import Index
@@ -271,7 +271,7 @@ class ShardedIVFFlatIndex(Index):
                     P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS),
                 ),
                 out_specs=(P(), P()),
-                check_rep=False,
+                check_vma=False,
             )
             d, i = jax.jit(fn2)(
                 jnp.asarray(q_sorted),

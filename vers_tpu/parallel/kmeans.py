@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from vers_tpu.core import bitwise_equal
 from vers_tpu.ops.kmeans import centroids_from_sums, partial_sums
@@ -31,7 +31,7 @@ def _psum_partials(mesh: Mesh, axis: str, chunk_size: int):
         mesh=mesh,
         in_specs=(P(axis), P(axis), P()),
         out_specs=(P(), P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
 
 

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding
 from jax.sharding import PartitionSpec as P
 
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from vers_tpu.index.lsh import ANNIndex, _forest_search
 from vers_tpu.models.candidates import SearchResult
@@ -120,7 +120,7 @@ class ShardedANNIndex:
             mesh=self.mesh,
             in_specs=(P(SHARD_AXIS),) + (P(),) * 11,
             out_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
-            check_rep=False,
+            check_vma=False,
         )
         dists, internal = fn(
             jax.device_put(qp, NamedSharding(self.mesh, P(SHARD_AXIS))),

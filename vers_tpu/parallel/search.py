@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from vers_tpu.ops.topk import fused_scan_topk, topk_smallest
 from vers_tpu.parallel.mesh import SHARD_AXIS
@@ -51,6 +51,6 @@ def sharded_topk(
         mesh=mesh,
         in_specs=(P(), P(axis), P(axis)),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)(queries, corpus_sharded, counts_sharded)
