@@ -190,6 +190,46 @@ def main():
     engine, nprobe, rec, qps = max(ok, key=lambda o: o[3])
     log(f"operating point: {engine} nprobe={nprobe} recall={rec:.4f}")
 
+    # LSH + HNSW operating points (one row each, so the driver artifact
+    # documents all four engines — VERDICT r2 #5). BENCH_FULL=0 skips.
+    extra = ""
+    if int(os.environ.get("BENCH_FULL", "1")):
+        from vers_tpu.index.hnsw import HNSWIndex
+        from vers_tpu.index.lsh import ANNIndex
+
+        t0 = time.perf_counter()
+        lsh = ANNIndex.build_index(8, 100, vectors, np.arange(n))
+        lsh_build_s = time.perf_counter() - t0
+        res = lsh.search_batch(qdev, TOP_K)  # auto-probes (deficit rule)
+        lsh_rec = recall_at_k(res.ids, truth)
+        t_l, _ = timed_device(
+            lambda: lsh.search_batch_device(qdev, TOP_K),
+            warmup=1, iters=2, depth=8,
+        )
+        log(
+            f"lsh auto-probes: recall@10={lsh_rec:.4f} "
+            f"qps={Q / t_l:.0f} build={lsh_build_s:.1f}s"
+        )
+        t0 = time.perf_counter()
+        hnsw = HNSWIndex.build_index_batched(
+            8, 100, 32, 16, vectors, wave_cap=2048
+        )
+        hnsw_build_s = time.perf_counter() - t0
+        res = hnsw.search_batch(qdev, TOP_K)  # ef=32
+        hnsw_rec = recall_at_k(res.ids, truth)
+        t_h, _ = timed_device(
+            lambda: hnsw.search_batch_device(qdev, TOP_K),
+            warmup=1, iters=2, depth=8,
+        )
+        log(
+            f"hnsw ef=32: recall@10={hnsw_rec:.4f} "
+            f"qps={Q / t_h:.0f} build={hnsw_build_s:.1f}s"
+        )
+        extra = (
+            f", lsh_qps={Q / t_l:.0f}, lsh_recall={lsh_rec:.4f}, "
+            f"hnsw_qps={Q / t_h:.0f}, hnsw_recall={hnsw_rec:.4f}"
+        )
+
     # CPU reference proxy: per-query adaptive IVF walk (single-threaded
     # numpy, mirroring ivfflat.rs:153-198)
     n_cpu = min(200, Q)
@@ -226,9 +266,10 @@ def main():
                 "metric": f"batched QPS @ recall@10>={TARGET_RECALL} "
                 f"(engine={engine}, n={n}, d={DIM}, k={K_CLUSTERS}, "
                 f"nprobe={nprobe}, recall={rec:.4f}, "
-                f"ivf_build_s={build_s:.2f}, "
                 f"ivf_build_warm_s={build_warm_s:.2f}, "
-                f"cpu_build_proxy_s={cpu_build_proxy_s:.1f})",
+                f"ivf_build_cold_s={build_s:.2f}, "
+                f"cpu_build_proxy_s={cpu_build_proxy_s:.1f}"
+                f"{extra})",
                 "value": round(qps, 1),
                 "unit": "qps",
                 "vs_baseline": round(ratio, 2),

@@ -80,3 +80,41 @@ def test_queen_hnsw(wiki, tmp_path):
     )
     assert out[0][0] == "queen"
     assert _royal_hits(out) >= 5
+
+
+def test_queen_hnsw_device_built(wiki, tmp_path):
+    """The queen flow on a wave-built graph: `add` must take the
+    device fast path (no materialization) and the royal neighbours
+    still surface after save + reload (VERDICT r2 #4)."""
+    vectors, w2i, i2w, test_embs = wiki
+    idx = HNSWIndex.build_index_batched(
+        4, 32, 16, 8, vectors.copy(), wave_cap=128
+    )
+    idx.search_batch(vectors[:2], 3)  # warm the device cache
+    out = run_test(
+        idx, str(tmp_path / "hnsw_dev.index"), vectors.copy(),
+        dict(w2i), dict(i2w), test_embs
+    )
+    assert out[0][0] == "queen"
+    assert _royal_hits(out) >= 5
+
+
+def test_queen_ivfflat_device_built(wiki, tmp_path):
+    """Same flow on a device-built IVF index: add patches the slacked
+    layout in place, host mirrors materialize only at save time."""
+    import jax.numpy as jnp
+
+    from vers_tpu.core import round_up, to_device
+
+    vectors, w2i, i2w, test_embs = wiki
+    n = len(vectors)
+    n_pad = round_up(n, 128)
+    dev = to_device(np.pad(vectors, ((0, n_pad - n), (0, 0))))
+    idx = IVFFlatIndex.build_index_device(8, 2, 10, dev, n_valid=n)
+    idx.search_batch(vectors[:2], 3)  # builds the device layout
+    out = run_test(
+        idx, str(tmp_path / "ivf_dev.index"), vectors.copy(),
+        dict(w2i), dict(i2w), test_embs
+    )
+    assert out[0][0] == "queen"
+    assert _royal_hits(out) >= 8

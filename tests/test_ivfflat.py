@@ -172,3 +172,71 @@ def test_adaptive_probe_depth_tiny_clusters():
     assert (res.ids >= 0).all(axis=1).any()  # full top_k rows exist
     for row in res.ids:
         assert (row >= 0).sum() >= 10 or (row >= 0).sum() == 15
+
+
+def test_incremental_add_patches_layout():
+    """VERDICT r2 #4: `add` on an index with a built layout must patch
+    it in place (slacked bins), not invalidate and re-pack."""
+    rng = np.random.default_rng(8)
+    x = rng.normal(size=(400, 16)).astype(np.float32)
+    idx = IVFFlatIndex.build_index(8, 2, 8, x)
+    idx.search_batch(x[:4], 5)  # builds the layout
+    assert idx._layout is not None
+    new = rng.normal(size=(16,)).astype(np.float32)
+    idx.add(new, 9999)  # vec_id ignored (quirk parity)
+    assert idx._layout is not None and idx._layout.get("slacked")
+    layout_obj = idx._layout
+    res = idx.search_batch(new[None], 3)
+    assert res.ids[0, 0] == 400  # new row id == old len(assignments)
+    assert res.distances[0, 0] == pytest.approx(0.0, abs=1e-4)
+    assert idx._layout is layout_obj  # same layout dict, patched
+    # parity path agrees
+    one = idx.search_approximate(new, 3)
+    assert one[0][0] == 400
+
+
+def test_incremental_add_device_built_no_download():
+    """add on a device-built index must not materialize the host
+    mirrors (no corpus download)."""
+    import jax.numpy as jnp
+
+    from vers_tpu.core import round_up, to_device
+
+    rng = np.random.default_rng(9)
+    x = rng.normal(size=(384, 16)).astype(np.float32)
+    n_pad = round_up(384, 128)
+    dev = to_device(np.pad(x, ((0, n_pad - 384), (0, 0))))
+    idx = IVFFlatIndex.build_index_device(8, 1, 6, dev, n_valid=384)
+    idx.search_batch(x[:4], 5)
+    new = rng.normal(size=(16,)).astype(np.float32)
+    idx.add(new, 0)
+    assert idx._values is None  # host mirror still lazy
+    assert idx._n_valid == 385
+    res = idx.search_batch(new[None], 3)
+    assert res.ids[0, 0] == 384
+    # save (materializes) -> reload -> the added row survives
+    import tempfile, os
+
+    p = os.path.join(tempfile.gettempdir(), "ivf_dev_add.index")
+    idx.save_index(p)
+    re = IVFFlatIndex.load_index(p)
+    assert re._values.shape[0] == 385
+    np.testing.assert_allclose(re._values[384], new, rtol=1e-6)
+
+
+def test_incremental_add_slack_exhaustion_rebuilds():
+    """Overflowing one bin's slack drops the layout; the next search
+    rebuilds it and every added row is still found."""
+    rng = np.random.default_rng(10)
+    x = rng.normal(size=(200, 8)).astype(np.float32)
+    idx = IVFFlatIndex.build_index(4, 1, 6, x)
+    idx.search_batch(x[:4], 5)
+    # adds all land near one centroid -> exhaust its slack
+    base = idx._centroids_host()[0]
+    added = []
+    for i in range(40):
+        v = (base + 0.01 * rng.normal(size=8)).astype(np.float32)
+        idx.add(v, 0)
+        added.append(v)
+    res = idx.search_batch(np.stack(added), 1)
+    assert (np.asarray(res.ids[:, 0]) == np.arange(200, 240)).all()

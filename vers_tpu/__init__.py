@@ -50,6 +50,18 @@ def __getattr__(name):
         from vers_tpu.parallel.hnsw import ShardedHNSWIndex
 
         return ShardedHNSWIndex
+    if name == "PartitionedHNSWIndex":
+        from vers_tpu.parallel.hnsw_partitioned import PartitionedHNSWIndex
+
+        return PartitionedHNSWIndex
+    if name == "PartitionedANNIndex":
+        from vers_tpu.parallel.lsh_partitioned import PartitionedANNIndex
+
+        return PartitionedANNIndex
+    if name == "ShardedANNIndex":
+        from vers_tpu.parallel.lsh import ShardedANNIndex
+
+        return ShardedANNIndex
     raise AttributeError(f"module 'vers_tpu' has no attribute {name!r}")
 
 # The reference README's intended Python API (README.md:83-97):

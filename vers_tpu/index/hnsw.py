@@ -80,8 +80,10 @@ class HNSWIndex(Index):
         # wave-build fast path: per-layer (member_ids, adj, dist) numpy
         # triples pending conversion into self.layers dicts; the device
         # query path consumes them directly and the host dicts
-        # materialize lazily (save/add/single-query only)
+        # materialize lazily (save/single-query only; `add` patches the
+        # pending arrays + device cache in place — no materialization)
         self._pending_graph = None
+        self._pending_maps = None
         # device-resident build (build_index_device): the (n_pad, d)
         # f32 corpus lives on device and ids are identity rows; the
         # host table downloads lazily (core.from_device) only for
@@ -411,6 +413,7 @@ class HNSWIndex(Index):
         adjacency dicts (one pass; called lazily by the host-side
         consumers — save_index, add, search_approximate)."""
         pending, self._pending_graph = self._pending_graph, None
+        self._pending_maps = None
         if pending is None:
             return
         for l, (mem, adj, dist) in enumerate(pending):
@@ -431,8 +434,253 @@ class HNSWIndex(Index):
     # -- Index API -------------------------------------------------------
 
     def add(self, embedding, vec_id: int) -> None:
+        """Incremental insert (`hnsw.rs:503-508`).
+
+        On a wave-/device-built index (pending array graph, identity
+        ids) with ``vec_id`` appending at the end, the FAST path runs:
+        one device insertion descent (`ops/beam.insertion_candidates`),
+        host-side neighbour selection on the downloaded efc-row
+        candidate sets, and in-place patches of the touched device
+        adjacency rows — no corpus download, no full-graph
+        materialization, no re-upload. Any other case (arbitrary ids,
+        dict-graph index) takes the reference-parity host path."""
+        emb = np.asarray(embedding, dtype=np.float32).reshape(-1)
+        if (
+            self._pending_graph is not None
+            and vec_id == self._rows_used
+            and self._rows_used > 0
+            and self.dim == emb.shape[0]
+            and self._add_node_device(emb, vec_id)
+        ):
+            return
         self._materialize_layers()
-        self._add_node(np.asarray(embedding, dtype=np.float32), vec_id)
+        self._add_node(emb, vec_id)
+
+    # -- device-side incremental add (no materialization cliff) -----------
+
+    def _ensure_pending_maps(self):
+        """Per-layer {global row -> pending row index} maps for the
+        fast add path (built once, maintained incrementally)."""
+        if getattr(self, "_pending_maps", None) is None:
+            self._pending_maps = [
+                {int(g): i for i, g in enumerate(mem)}
+                for mem, _, _ in self._pending_graph
+            ]
+        return self._pending_maps
+
+    @staticmethod
+    def _select_neighbours_np(cand_i, cand_d, cand_v, m: int, exclude: int):
+        """Heuristic neighbour selection (`hnsw.rs:104-164`, incl. the
+        m+1-admission quirk) over one downloaded candidate set
+        (ascending distance). Returns (ids, dists) lists."""
+        sel_ids: List[int] = []
+        sel_d: List[float] = []
+        sel_rows: List[int] = []
+        for j in range(len(cand_i)):
+            if len(sel_ids) > m:
+                break
+            cid = int(cand_i[j])
+            if cid < 0 or cid == exclude or not np.isfinite(cand_d[j]):
+                continue
+            if sel_rows:
+                d_to_sel = 1.0 - cand_v[sel_rows] @ cand_v[j]
+                if bool(np.any(cand_d[j] > d_to_sel)):
+                    continue
+            sel_ids.append(cid)
+            sel_d.append(float(cand_d[j]))
+            sel_rows.append(j)
+        return sel_ids, sel_d
+
+    def _pending_insert_layer(
+        self, l: int, row: int, sel_ids, sel_d, m: int
+    ) -> dict:
+        """Append ``row`` to pending layer ``l`` with its selected
+        neighbours and commit reverse edges (full rows prune their
+        farthest edge — a documented deviation from the reference's
+        trim re-selection, recall-equivalent in practice). Returns
+        {global row -> packed numpy adjacency row} device patches."""
+        mem, adj, dist = self._pending_graph[l]
+        maps = self._ensure_pending_maps()[l]
+        width = adj.shape[1]
+        cap = max(m, 1)
+        # width >= cap+1 guarantees (a) room for the selection's m+1
+        # quirk and (b) a free slot in any reverse row that is still
+        # under cap (rows at >= cap edges take the prune path instead)
+        target_w = max(len(sel_ids), cap + 1)
+        if target_w > width:
+            grow = target_w - width
+            adj = np.pad(adj, ((0, 0), (0, grow)), constant_values=-1)
+            dist = np.pad(
+                dist, ((0, 0), (0, grow)), constant_values=np.inf
+            )
+            width += grow
+        new_adj = np.full((1, width), -1, np.int32)
+        new_dist = np.full((1, width), np.inf, np.float32)
+        new_adj[0, : len(sel_ids)] = sel_ids
+        new_dist[0, : len(sel_ids)] = sel_d
+        mem = np.append(np.asarray(mem, np.int64), np.int64(row))
+        adj = np.concatenate([adj, new_adj])
+        dist = np.concatenate([dist, new_dist.astype(dist.dtype)])
+        maps[row] = len(mem) - 1
+        touched = {row: adj[-1]}
+        for u, du in zip(sel_ids, sel_d):
+            r_u = maps.get(int(u))
+            if r_u is None:
+                continue
+            row_adj, row_dist = adj[r_u], dist[r_u]
+            valid = row_adj >= 0
+            n_valid = int(valid.sum())
+            if n_valid < cap:
+                slot = int(np.argmin(valid))  # first empty (width > cap)
+            else:
+                slot = int(
+                    np.argmax(np.where(valid, row_dist, -np.inf))
+                )
+                if du >= float(row_dist[slot]):
+                    continue  # farther than every current edge: drop
+            row_adj[slot] = row
+            row_dist[slot] = du
+            touched[int(u)] = row_adj
+        self._pending_graph[l] = (mem, adj, dist)
+        return touched
+
+    def _patch_device_adj(self, cache, l: int, touched: dict) -> None:
+        """Apply {global row -> numpy adjacency row} patches to the
+        cached device adjacency of layer ``l`` (one scatter; widens the
+        padded degree on demand)."""
+        dev = cache["adjs"][l]
+        width = int(dev.shape[1])
+        need = max(
+            (int(np.count_nonzero(a >= 0)) for a in touched.values()),
+            default=1,
+        )
+        if need > width:
+            dev = jnp.concatenate(
+                [dev, jnp.full((dev.shape[0], need - width), -1, jnp.int32)],
+                axis=1,
+            )
+            width = need
+        rows = np.fromiter(touched.keys(), np.int64, len(touched))
+        mat = np.full((len(rows), width), -1, np.int32)
+        for i, r in enumerate(rows):
+            a = touched[int(r)]
+            v = a[a >= 0][:width]
+            mat[i, : len(v)] = v
+        cache["adjs"][l] = dev.at[jnp.asarray(rows, jnp.int32)].set(
+            jnp.asarray(mat)
+        )
+
+    def _add_node_device(self, emb: np.ndarray, vid: int) -> bool:
+        from vers_tpu.ops.beam import insertion_candidates
+
+        cache = self._ensure_device_cache()
+        if cache["entry"] is None:
+            return False  # no entrypoint: caller takes the host path
+        row = self._rows_used
+        d = self.dim
+        # capacity: grow the device tables by one sublane block when full
+        n_pad = int(cache["vecs"].shape[0])
+        if row >= n_pad:
+            grow = 128
+            cache["vecs"] = jnp.concatenate(
+                [cache["vecs"], jnp.zeros((grow, d), cache["vecs"].dtype)]
+            )
+            cache["vecs_nav"] = jnp.concatenate(
+                [cache["vecs_nav"],
+                 jnp.zeros((grow, d), cache["vecs_nav"].dtype)]
+            )
+            if cache["nav_scales"] is not None:
+                cache["nav_scales"] = jnp.concatenate(
+                    [cache["nav_scales"], jnp.ones((grow,), jnp.float32)]
+                )
+            cache["adjs"] = [
+                jnp.concatenate(
+                    [a, jnp.full((grow, a.shape[1]), -1, jnp.int32)]
+                )
+                for a in cache["adjs"]
+            ]
+        # write the vector; the new row has no incoming edges yet so it
+        # is invisible to the descent below
+        qrow = jnp.asarray(emb)
+        cache["vecs"] = cache["vecs"].at[row].set(qrow)
+        if cache["nav_scales"] is not None:
+            absmax = max(float(np.max(np.abs(emb))), 1e-12)
+            cache["vecs_nav"] = cache["vecs_nav"].at[row].set(
+                jnp.round(qrow / absmax * 127.0).astype(jnp.int8)
+            )
+            cache["nav_scales"] = cache["nav_scales"].at[row].set(
+                absmax / 127.0
+            )
+        else:
+            cache["vecs_nav"] = cache["vecs_nav"].at[row].set(
+                qrow.astype(cache["vecs_nav"].dtype)
+            )
+        if self._corpus_dev is not None:
+            self._corpus_dev = cache["vecs"]
+        else:
+            # host table mirror (raw append; _set_vec would invalidate)
+            if row >= self._vecs.shape[0] or self._vecs.shape[1] != d:
+                grown = np.zeros(
+                    (max(16, row * 2, self._vecs.shape[0] * 2), d),
+                    np.float32,
+                )
+                grown[:row] = self._vecs[:row]
+                self._vecs = grown
+            self._vecs[row] = emb
+        self._id_row[vid] = row
+        self._rows_used = row + 1
+        cache["node_ids"] = np.append(cache["node_ids"], np.int64(vid))
+        nd = cache["node_ids_dev"]
+        if nd is not None and -(2**31) <= vid < 2**31:
+            cache["node_ids_dev"] = jnp.concatenate(
+                [nd, jnp.full((1,), vid, jnp.int32)]
+            )
+        else:
+            cache["node_ids_dev"] = device_id_map(cache["node_ids"])
+
+        l_ins = self._get_insertion_layer()
+        scales = cache["nav_scales"]
+        cand_d, cand_i, cand_v = insertion_candidates(
+            qrow[None],
+            cache["vecs"],
+            cache["vecs_nav"],
+            scales if scales is not None else jnp.zeros((1,), jnp.float32),
+            tuple(cache["adjs"]),
+            jnp.full((1,), cache["entry"], jnp.int32),
+            efc=self.ef_construction,
+            l_ins=l_ins,
+            expand=max(1, getattr(self.config, "beam_expand", 4)),
+            steps_cap=getattr(self.config, "beam_steps", None),
+            has_scales=scales is not None,
+        )
+        cand_d = np.asarray(cand_d)
+        cand_i = np.asarray(cand_i)
+        cand_v = np.asarray(cand_v)
+        for j, l in enumerate(range(l_ins, -1, -1)):
+            m = 2 * self.num_neighbours if l == 0 else self.num_neighbours
+            sel_ids, sel_d = self._select_neighbours_np(
+                cand_i[j], cand_d[j], cand_v[j], m, exclude=row
+            )
+            touched = self._pending_insert_layer(l, row, sel_ids, sel_d, m)
+            self._patch_device_adj(cache, l, touched)
+        # layer-1 routing table membership
+        if l_ins >= 1 and cache.get("l1_tab") is not None:
+            n1 = int(cache["n1"])
+            n1_pad = int(cache["l1_members"].shape[0])
+            if n1 >= n1_pad:
+                cache["l1_members"] = jnp.concatenate(
+                    [cache["l1_members"], jnp.zeros((8,), jnp.int32)]
+                )
+                cache["l1_tab"] = jnp.concatenate(
+                    [cache["l1_tab"],
+                     jnp.zeros((8, d), cache["l1_tab"].dtype)]
+                )
+            cache["l1_members"] = cache["l1_members"].at[n1].set(row)
+            cache["l1_tab"] = cache["l1_tab"].at[n1].set(
+                qrow.astype(cache["l1_tab"].dtype)
+            )
+            cache["n1"] = n1 + 1
+        return True
 
     def search_approximate(self, query, top_k: int) -> List[Tuple[int, float]]:
         """Port of `search_approximate` (`hnsw.rs:510-548`), all quirks
@@ -457,27 +705,58 @@ class HNSWIndex(Index):
 
     # -- batched TPU query path ------------------------------------------
 
-    def _ensure_device_cache(self):
-        if self._device_cache is not None:
-            return self._device_cache
+    @staticmethod
+    def _pack_pending_adjs(pending, n_pad: int, cap) -> List[np.ndarray]:
+        """Wave-build fast path: adjacency arrives as numpy arrays in
+        global==compact ids; no host dicts needed. Vectorized
+        left-compaction of each row's valid entries. Returns one numpy
+        (n_pad, deg_l) int32 array per layer."""
+        adjs = []
+        for mem, adj, dist in pending:
+            valid = (adj >= 0) & np.isfinite(dist)
+            deg = max(int(valid.sum(axis=1).max(initial=0)), 1)
+            if cap is not None:
+                deg = min(deg, max(int(cap), 1))
+            order = np.argsort(~valid, axis=1, kind="stable")
+            packed = np.where(
+                np.take_along_axis(valid, order, 1),
+                np.take_along_axis(adj, order, 1),
+                -1,
+            )[:, :deg]
+            full = np.full((n_pad, deg), -1, np.int32)
+            full[mem] = packed
+            adjs.append(full)
+        return adjs
+
+    def _host_graph_arrays(self) -> dict:
+        """Host-side (numpy) assembly of the serving graph — shared by
+        the single-chip device cache below and the corpus-partitioned
+        sharding layer (`parallel/hnsw_partitioned`). Returns dict(
+        vecs (n_pad, d) f32 numpy or None when the corpus is
+        device-resident, adjs [numpy (n_pad, deg_l) int32 per layer,
+        compact row ids], l1_rows (n1,) int64 compact rows of layer-1
+        members, entry compact row or None, node_ids (n,) int64
+        external ids per compact row, n, n_pad)."""
         if self._corpus_dev is not None:
             # device-resident build: corpus already on device, ids are
-            # identity rows — no host table assembly, no upload
+            # identity rows — no host table assembly, no download
             n = self._rows_used
-            n_pad = self._corpus_dev.shape[0]
+            n_pad = int(self._corpus_dev.shape[0])
             node_ids = np.arange(n, dtype=np.int64)
             compact = None  # identity; materialized only if needed
             identity = True
+            vecs = None
         else:
-            node_ids = list(self._id_row.keys())
-            compact = {nid: i for i, nid in enumerate(node_ids)}
-            n = len(node_ids)
+            node_list = list(self._id_row.keys())
+            compact = {nid: i for i, nid in enumerate(node_list)}
+            n = len(node_list)
             n_pad = round_up(max(n, 1), 8)
             vecs = np.zeros((n_pad, self.dim), np.float32)
             if n:
                 rows = np.fromiter(self._id_row.values(), np.int64, count=n)
                 vecs[:n] = self._vecs[rows]
-            identity = node_ids == list(range(n))
+            identity = node_list == list(range(n))
+            node_ids = np.asarray(node_list, dtype=np.int64)
         # config.max_degree caps the padded adjacency width: one
         # high-degree node otherwise widens every gather row of its
         # layer. Truncation keeps the FIRST max_degree neighbours
@@ -486,26 +765,14 @@ class HNSWIndex(Index):
         cap = getattr(self.config, "max_degree", None)
         pending = self._pending_graph
         if pending is not None and identity:
-            # wave-build fast path: adjacency arrives as numpy arrays
-            # in global==compact ids; no host dicts needed. Vectorized
-            # left-compaction of each row's valid entries.
-            adjs = []
-            for mem, adj, dist in pending:
-                valid = (adj >= 0) & np.isfinite(dist)
-                deg = max(int(valid.sum(axis=1).max(initial=0)), 1)
-                if cap is not None:
-                    deg = min(deg, max(int(cap), 1))
-                order = np.argsort(~valid, axis=1, kind="stable")
-                packed = np.where(
-                    np.take_along_axis(valid, order, 1),
-                    np.take_along_axis(adj, order, 1),
-                    -1,
-                )[:, :deg]
-                full = np.full((n_pad, deg), -1, np.int32)
-                full[mem] = packed
-                adjs.append(jnp.asarray(full))
+            adjs = self._pack_pending_adjs(pending, n_pad, cap)
             top_mem = pending[-1][0]
-            entry_ext = int(top_mem[0]) if len(top_mem) else None
+            entry = int(top_mem[0]) if len(top_mem) else None
+            l1_rows = (
+                np.asarray(pending[1][0], np.int64)
+                if len(pending) > 1
+                else np.zeros((0,), np.int64)
+            )
         else:
             self._materialize_layers()
             if compact is None:
@@ -520,14 +787,36 @@ class HNSWIndex(Index):
                 for nid, item in layer.adjacency.items():
                     row = [compact[x] for x in item.neighbours if x in compact]
                     adj[compact[nid], : len(row[:deg])] = row[:deg]
-                adjs.append(jnp.asarray(adj))
+                adjs.append(adj)
             entry_ext = (
                 next(iter(self.layers[-1].adjacency))
                 if self.layers[-1].adjacency
                 else None
             )
+            entry = None if entry_ext is None else compact.get(entry_ext, 0)
+            if len(self.layers) > 1:
+                l1_rows = np.fromiter(
+                    (compact[nid] for nid in self.layers[1].adjacency
+                     if nid in compact),
+                    np.int64,
+                )
+            else:
+                l1_rows = np.zeros((0,), np.int64)
+        return dict(
+            vecs=vecs, adjs=adjs, l1_rows=l1_rows, entry=entry,
+            node_ids=node_ids, n=n, n_pad=n_pad,
+        )
+
+    def _ensure_device_cache(self):
+        if self._device_cache is not None:
+            return self._device_cache
+        g = self._host_graph_arrays()
+        node_ids = g["node_ids"]
+        adjs = [jnp.asarray(a) for a in g["adjs"]]
         vecs_dev = (
-            self._corpus_dev if self._corpus_dev is not None else to_device(vecs)
+            self._corpus_dev
+            if g["vecs"] is None
+            else to_device(g["vecs"])
         )
         nav_dtype = getattr(self.config, "nav_dtype", "bfloat16")
         # navigation table: the beam loop is bound by its random row
@@ -550,20 +839,7 @@ class HNSWIndex(Index):
         # full_descent_scan): the contiguous bf16 vectors of every
         # layer-1 node (~n/(2M) rows). One MXU scan over this table
         # replaces the whole routing descent. Built once per cache.
-        if pending is not None and identity:
-            l1_mem = (
-                np.asarray(pending[1][0], np.int64)
-                if len(pending) > 1
-                else np.zeros((0,), np.int64)
-            )
-        elif len(self.layers) > 1:
-            l1_mem = np.fromiter(
-                (compact[nid] for nid in self.layers[1].adjacency
-                 if nid in compact),
-                np.int64,
-            )
-        else:
-            l1_mem = np.zeros((0,), np.int64)
+        l1_mem = g["l1_rows"]
         n1 = int(l1_mem.size)
         if n1:
             n1_pad = round_up(n1, 8)
@@ -586,13 +862,9 @@ class HNSWIndex(Index):
             l1_members=l1_members,
             l1_tab=l1_tab,
             n1=n1,
-            node_ids=np.asarray(node_ids, dtype=np.int64),
+            node_ids=node_ids,
             node_ids_dev=device_id_map(node_ids),
-            entry=(
-                None
-                if entry_ext is None
-                else entry_ext if compact is None else compact.get(entry_ext, 0)
-            ),
+            entry=g["entry"],
         )
         return self._device_cache
 

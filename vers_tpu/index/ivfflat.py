@@ -178,28 +178,75 @@ class IVFFlatIndex(Index):
 
     def _ensure_layout(self):
         if self._layout is None:
-            self._materialize_host()
-            self._layout = make_layout(
-                self._values, self._assignments, self.num_centroids
-            )
-            self._centroids_dev = jnp.asarray(self._centroids)
+            if self._values is None and self._values_dev is not None:
+                # device-built index whose layout was dropped (slack
+                # exhaustion): rebuild on device — no host round trip
+                self._layout = make_layout_device(
+                    self._values_dev, self._assign_dev,
+                    self.num_centroids, self._n_valid,
+                )
+            else:
+                self._materialize_host()
+                self._layout = make_layout(
+                    self._values, self._assignments, self.num_centroids
+                )
+                self._centroids_dev = jnp.asarray(self._centroids)
         return self._layout
+
+    def _centroids_host(self) -> np.ndarray:
+        """Host centroids without materializing the corpus (the (k, d)
+        download is tiny)."""
+        if self._centroids is None:
+            self._centroids = np.asarray(self._centroids_dev)
+        return self._centroids
 
     # -- Index API -------------------------------------------------------
 
     def add(self, embedding, vec_id: int) -> None:
         """Quirk parity with `ivfflat.rs:200-213`: the caller's vec_id is
-        ignored; the new row gets id == len(assignments)."""
-        self._materialize_host()
+        ignored; the new row gets id == len(assignments).
+
+        Incremental (VERDICT r2 #4): an existing cluster-major layout is
+        patched in place — on first add it re-packs once WITH per-bin
+        slack (`ops/binned.slacken_layout`, device-side), then each add
+        is four device scatters into the assigned bin's slack. A
+        device-built corpus is patched on device too; the host mirrors
+        stay lazy (no corpus download on the add path)."""
         emb = np.asarray(embedding, dtype=np.float32).reshape(-1)
-        d2 = np.sum((self._centroids - emb[None, :]) ** 2, axis=1)
+        cent = self._centroids_host()
+        d2 = np.sum((cent - emb[None, :]) ** 2, axis=1)
         c = int(np.argmin(d2))
-        new_id = len(self._assignments)
-        self._values = np.concatenate([self._values, emb[None, :]], axis=0)
-        self._assignments = np.append(self._assignments, c)
-        self._ids[c].append(new_id)
-        self._layout = None  # invalidate cluster-major layout
-        self._values_dev = None
+        new_id = self._n_valid
+
+        if self._values is not None:  # host mirrors exist: keep fresh
+            self._values = np.concatenate([self._values, emb[None, :]], axis=0)
+            self._assignments = np.append(self._assignments, c)
+            self._ids[c].append(new_id)
+        if self._values_dev is not None:  # device corpus: patch on device
+            n_pad = int(self._values_dev.shape[0])
+            if new_id >= n_pad:
+                grow = 128
+                self._values_dev = jnp.concatenate(
+                    [self._values_dev,
+                     jnp.zeros((grow, self.dim), self._values_dev.dtype)]
+                )
+                self._assign_dev = jnp.concatenate(
+                    [self._assign_dev,
+                     jnp.zeros((grow,), self._assign_dev.dtype)]
+                )
+            self._values_dev = self._values_dev.at[new_id].set(
+                jnp.asarray(emb)
+            )
+            self._assign_dev = self._assign_dev.at[new_id].set(c)
+        self._n_valid = new_id + 1
+
+        if self._layout is not None:
+            from vers_tpu.ops.binned import layout_insert, slacken_layout
+
+            if not self._layout.get("slacked"):
+                self._layout = slacken_layout(self._layout)
+            if not layout_insert(self._layout, emb, c, new_id):
+                self._layout = None  # slack exhausted: rebuild lazily
 
     def add_batch(self, embeddings, vec_ids=None) -> None:
         """Vectorized bulk insert: one assignment pass, one layout
@@ -220,6 +267,7 @@ class IVFFlatIndex(Index):
         self._assignments = np.concatenate([self._assignments, assign])
         for i, c in enumerate(assign):
             self._ids[int(c)].append(base + i)
+        self._n_valid = len(self._assignments)
         self._layout = None
         self._values_dev = None
 

@@ -181,13 +181,12 @@ class ANNIndex(Index):
         self._dirty_trees: set = set()
         self._combined = None  # stacked-forest device state
 
-    def _ensure_combined(self):
-        """Combined device state: all trees' leaf partitions stacked
-        into ONE bin-major layout (bins = (tree, leaf) pairs), plus
-        stacked level tables for the one-dispatch forest descent."""
-        if self._combined is not None:
-            return self._combined
-        n = self._values.shape[0]
+    def _combined_host_arrays(self) -> dict:
+        """Host-side (numpy) assembly of the stacked-forest state: all
+        trees' leaf partitions stacked into ONE bin-major layout (bins =
+        (tree, leaf) pairs) plus stacked level tables. Shared by the
+        single-chip device state below and the corpus-partitioned
+        sharding layer (`parallel/lsh_partitioned`)."""
         layouts = [make_layout(self._values, t.leaf_of_vec, max(t.num_buckets, 1))
                    for t in self._trees]
         corpus = np.concatenate([np.asarray(l["corpus_sorted"]) for l in layouts])
@@ -205,15 +204,6 @@ class ANNIndex(Index):
             offsets.append(bin_off)
             bin_off += max(t.num_buckets, 1)
             row_off += np.asarray(l["corpus_sorted"]).shape[0]
-        combined_layout = dict(
-            corpus_sorted=to_device(corpus),
-            sorted_to_orig=jnp.asarray(s2o),
-            rbin=jnp.asarray(np.concatenate(rbins)),
-            sizes_host=np.concatenate(sizes).astype(np.int64),
-            starts_host=np.concatenate(starts).astype(np.int64),
-            max_bin=max(l["max_bin"] for l in layouts),
-            num_bins=bin_off,
-        )
         # stacked level tables (pad to common shapes)
         L = max(t.coeff.shape[0] for t in self._trees)
         TC = max(t.coeff.shape[1] for t in self._trees)
@@ -230,17 +220,45 @@ class ANNIndex(Index):
             consts[i, :l, :tc] = t.const
             splits[i, :l, :sc] = t.split
             buckets[i, :l, :sc] = t.bucket
-        combined_layout["sizes_dev"] = jnp.asarray(
-            combined_layout["sizes_host"].astype(np.int32)
+        return dict(
+            corpus=corpus,
+            s2o=s2o,
+            rbin=np.concatenate(rbins),
+            sizes_host=np.concatenate(sizes).astype(np.int64),
+            starts_host=np.concatenate(starts).astype(np.int64),
+            max_bin=max(l["max_bin"] for l in layouts),
+            num_bins=bin_off,
+            coeffs=coeffs,
+            consts=consts,
+            splits=splits,
+            buckets=buckets,
+            offsets=np.asarray(offsets, np.int32),
+            bin_bounds=np.asarray(offsets + [bin_off], np.int64),
+        )
+
+    def _ensure_combined(self):
+        """Combined device state (see `_combined_host_arrays`)."""
+        if self._combined is not None:
+            return self._combined
+        g = self._combined_host_arrays()
+        combined_layout = dict(
+            corpus_sorted=to_device(g["corpus"]),
+            sorted_to_orig=jnp.asarray(g["s2o"]),
+            rbin=jnp.asarray(g["rbin"]),
+            sizes_host=g["sizes_host"],
+            starts_host=g["starts_host"],
+            max_bin=g["max_bin"],
+            num_bins=g["num_bins"],
+            sizes_dev=jnp.asarray(g["sizes_host"].astype(np.int32)),
         )
         self._combined = dict(
             layout=combined_layout,
-            coeffs=jnp.asarray(coeffs),
-            consts=jnp.asarray(consts),
-            splits=jnp.asarray(splits),
-            buckets=jnp.asarray(buckets),
-            offsets=jnp.asarray(np.asarray(offsets, np.int32)),
-            bin_bounds=np.asarray(offsets + [bin_off], np.int64),
+            coeffs=jnp.asarray(g["coeffs"]),
+            consts=jnp.asarray(g["consts"]),
+            splits=jnp.asarray(g["splits"]),
+            buckets=jnp.asarray(g["buckets"]),
+            offsets=jnp.asarray(g["offsets"]),
+            bin_bounds=g["bin_bounds"],
         )
         return self._combined
 

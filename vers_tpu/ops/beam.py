@@ -283,6 +283,59 @@ def full_descent_scan(
     return beam_d[:, :top_k], beam_i[:, :top_k]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("efc", "l_ins", "expand", "steps_cap", "has_scales"),
+)
+def insertion_candidates(
+    query,       # (1, d) f32 — the vector being inserted
+    vecs_f32,    # (n_pad, d) f32 rescore table
+    vecs_nav,    # (n_pad, d) nav dtype
+    scales,      # (n_pad,) f32 or (1,) dummy
+    adjs,        # tuple of (n_pad, deg_l) int32, layers 0..L-1 (ALL layers)
+    entry,       # (1,) int32 top-layer entry row
+    efc: int,
+    l_ins: int,
+    expand: int = 8,
+    steps_cap=None,
+    has_scales: bool = False,
+):
+    """Device-side insertion descent for an incremental ``add`` on a
+    device-built graph (the TPU re-expression of `_add_node`'s search
+    phase, `hnsw.rs:348-416`): beams route from the TOP layer down
+    (insertion searches the top layer too, unlike queries), and every
+    layer <= ``l_ins`` emits its f32-rescored efc-wide candidate set
+    plus the candidates' f32 vectors (for the host-side heuristic
+    neighbour selection, which needs candidate-to-candidate distances).
+
+    Returns (cand_d (l_ins+1, efc), cand_i (l_ins+1, efc),
+    cand_vecs (l_ins+1, efc, d)); row j holds layer ``l_ins - j``."""
+    outs_d, outs_i = [], []
+    n_pad = vecs_f32.shape[0]
+    for l in range(len(adjs) - 1, -1, -1):
+        beam_d, beam_i = beam_search_layer(
+            query,
+            vecs_nav,
+            adjs[l],
+            entry,
+            ef=efc,
+            max_steps=steps_cap or max(4 * efc, 64),
+            expand_per_step=min(max(1, expand), efc),
+            scales=scales if has_scales else None,
+        )
+        if l <= l_ins:
+            rd, ri = rescore_cosine(query, vecs_f32, beam_i, efc)
+            outs_d.append(rd[0])
+            outs_i.append(ri[0])
+        entry = beam_i[:, :1]
+    cand_d = jnp.stack(outs_d)                     # (l_ins+1, efc)
+    cand_i = jnp.stack(outs_i)
+    cand_v = jnp.take(
+        vecs_f32, jnp.clip(cand_i, 0, n_pad - 1), axis=0
+    )                                              # (l_ins+1, efc, d)
+    return cand_d, cand_i, cand_v
+
+
 @functools.partial(jax.jit, static_argnames=("top_k",))
 def rescore_cosine(queries, vecs_f32, ids, top_k: int):
     """Exact f32 rescore of beam results (after bf16 navigation):

@@ -110,6 +110,93 @@ def make_layout_device(
     )
 
 
+def slacken_layout(layout: Dict, min_slack: int = 8, frac: int = 8) -> Dict:
+    """Rebuild a bin-major layout with per-bin slack capacity so
+    incremental inserts become in-place device scatters (the IVFFlat
+    ``add`` fast path, no re-pack/re-upload — the reference's add is one
+    Vec push, `ivfflat.rs:200-213`). One device scatter moves every live
+    row to its capacity slot; no host transfer.
+
+    Conventions of a slacked layout:
+    - ``sizes_host``/``starts_host``/``max_bin`` describe the CAPACITY
+      footprint (what tile packing must span; slack rows carry
+      rbin = -1 and are invisible to the scan's bin-equality mask),
+    - ``true_sizes_host`` / ``size`` (device) hold the occupied sizes
+      (what adaptive probing must see)."""
+    true_sizes = np.asarray(
+        layout.get("true_sizes_host", layout["sizes_host"]), np.int64
+    )
+    caps = true_sizes + np.maximum(min_slack, true_sizes // frac)
+    cap_starts = np.concatenate([[0], np.cumsum(caps)[:-1]]).astype(np.int32)
+    cap_total = round_up(int(caps.sum()), 128)
+    corpus = layout["corpus_sorted"]
+    d = corpus.shape[1]
+    rbin_old = layout["rbin"]
+    n_old = corpus.shape[0]
+    starts_old = jnp.asarray(np.asarray(layout["starts_host"], np.int32))
+    capd = jnp.asarray(cap_starts)
+    rb_safe = jnp.clip(rbin_old, 0, None)
+    tgt = jnp.where(
+        rbin_old >= 0,
+        capd[rb_safe]
+        + jnp.arange(n_old, dtype=jnp.int32)
+        - starts_old[rb_safe],
+        cap_total,  # out of bounds -> dropped
+    )
+    new_corpus = (
+        jnp.zeros((cap_total, d), corpus.dtype)
+        .at[tgt].set(corpus, mode="drop")
+    )
+    new_rbin = (
+        jnp.full((cap_total,), -1, jnp.int32)
+        .at[tgt].set(rbin_old, mode="drop")
+    )
+    new_s2o = (
+        jnp.full((cap_total,), -1, jnp.int32)
+        .at[tgt].set(layout["sorted_to_orig"], mode="drop")
+    )
+    return dict(
+        corpus_sorted=new_corpus,
+        sorted_to_orig=new_s2o,
+        start=jnp.asarray(cap_starts),
+        size=jnp.asarray(true_sizes.astype(np.int32)),
+        rbin=new_rbin,
+        sizes_host=caps.astype(np.int32),
+        starts_host=cap_starts,
+        true_sizes_host=true_sizes.astype(np.int32),
+        caps_host=caps.astype(np.int32),
+        max_bin=int(caps.max()) if caps.size else 1,
+        num_bins=layout["num_bins"],
+        slacked=True,
+    )
+
+
+def layout_insert(layout: Dict, row_vec, bin_c: int, orig_row: int) -> bool:
+    """In-place insert of one row into bin ``bin_c`` of a slacked
+    layout (four device scatters, one int bump). Returns False when the
+    bin's slack is exhausted — the caller rebuilds with fresh slack.
+    Cached group-major padded copies (the Pallas path's regrouped
+    corpus) are invalidated; they rebuild with one device gather on the
+    next search (no host transfer)."""
+    if not layout.get("slacked"):
+        raise ValueError("layout_insert requires a slacken_layout layout")
+    c = int(bin_c)
+    true_sizes = layout["true_sizes_host"]
+    if true_sizes[c] >= layout["caps_host"][c]:
+        return False
+    pos = int(layout["starts_host"][c]) + int(true_sizes[c])
+    row_vec = jnp.asarray(row_vec, layout["corpus_sorted"].dtype)
+    layout["corpus_sorted"] = layout["corpus_sorted"].at[pos].set(row_vec)
+    layout["rbin"] = layout["rbin"].at[pos].set(c)
+    layout["sorted_to_orig"] = (
+        layout["sorted_to_orig"].at[pos].set(int(orig_row))
+    )
+    layout["size"] = layout["size"].at[c].add(1)
+    true_sizes[c] += 1
+    layout.pop("_padded_forest", None)
+    return True
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("top_k", "q_blk", "r_blk", "metric", "use_approx", "precision"),

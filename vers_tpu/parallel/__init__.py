@@ -4,7 +4,9 @@ from vers_tpu.parallel.kmeans import sharded_lloyd_step, sharded_build_kmeans
 from vers_tpu.parallel.sharded_index import ShardedFlatIndex
 from vers_tpu.parallel.ivf import ShardedIVFFlatIndex
 from vers_tpu.parallel.hnsw import ShardedHNSWIndex
+from vers_tpu.parallel.hnsw_partitioned import PartitionedHNSWIndex
 from vers_tpu.parallel.lsh import ShardedANNIndex
+from vers_tpu.parallel.lsh_partitioned import PartitionedANNIndex
 
 __all__ = [
     "make_mesh",
@@ -15,5 +17,7 @@ __all__ = [
     "ShardedFlatIndex",
     "ShardedIVFFlatIndex",
     "ShardedHNSWIndex",
+    "PartitionedHNSWIndex",
     "ShardedANNIndex",
+    "PartitionedANNIndex",
 ]
