@@ -190,3 +190,62 @@ def test_deficit_gate_tree_major():
     gated = np.asarray(_deficit_gate(probes, sizes, num_bins, 2, 10))
     # tree0: 4 < 10 -> rank 1 stays; tree1: 50 >= 10 -> rank 1 gated
     assert list(gated[0]) == [0, 1, 3, num_bins]
+
+
+def test_pallas_gated_sentinel_ranks_masked():
+    """Gated (sentinel-bin) probe ranks must contribute NOTHING on the
+    Pallas kernel path. Fully-sentinel query blocks get no work item,
+    so the kernel never writes their output rows — on real TPU those
+    rows are uninitialized VMEM whose garbage (pre-fix) WON the
+    cross-probe merge (bench 100k x 300 auto-probes read recall 0.0 at
+    Q=16k). The epilogue now masks each rank by its gate status, making
+    the result identical to running only the live ranks."""
+    rng = np.random.default_rng(11)
+    n, d, k, q_n = 3000, 32, 16, 192
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    bins = rng.integers(0, k, n)
+    layout = binned.make_layout(x, bins, k)
+    cents = jnp.asarray(rng.normal(size=(k, d)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(q_n, d)).astype(np.float32))
+
+    from vers_tpu.ops.distance import pairwise_distance
+    from vers_tpu.ops.topk import topk_smallest
+
+    cd = pairwise_distance(q, cents, "sq_euclidean")
+    _, near = topk_smallest(cd, 2)
+    near = np.asarray(near).astype(np.int32)
+
+    # rank 1 gated for EVERY query (whole segment unwritten pre-fix),
+    # plus a mixed rank where only half the queries stay live
+    sent = np.full((q_n, 1), k, np.int32)
+    half = near[:, 1:2].copy()
+    half[::2] = k
+    probes_live = jnp.asarray(near[:, :1])
+    probes_gated = jnp.asarray(np.concatenate([near[:, :1], sent], axis=1))
+    probes_mixed = jnp.asarray(np.concatenate([near[:, :1], half], axis=1))
+
+    d1, i1 = binned.binned_topk_pallas(
+        q, cents, 1, layout, top_k=8, probes=probes_live,
+        q_blk=64, r_blk=256, chunk=128,
+    )
+    d2, i2 = binned.binned_topk_pallas(
+        q, cents, 2, layout, top_k=8, probes=probes_gated,
+        q_blk=64, r_blk=256, chunk=128,
+    )
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(
+        np.asarray(d1), np.asarray(d2), rtol=1e-5, atol=1e-5
+    )
+
+    # mixed rank == the same probes evaluated by the XLA scan path
+    d3, i3 = binned.binned_topk_pallas(
+        q, cents, 2, layout, top_k=8, probes=probes_mixed,
+        q_blk=64, r_blk=256, chunk=128,
+    )
+    d4, i4 = binned.binned_topk_shared(
+        q, cents, 2, layout, top_k=8, probes=probes_mixed
+    )
+    np.testing.assert_array_equal(np.asarray(i3), np.asarray(i4))
+    np.testing.assert_allclose(
+        np.asarray(d3), np.asarray(d4), rtol=1e-5, atol=1e-5
+    )

@@ -84,8 +84,11 @@ def test_roundtrip(tmp_path, built, mesh, corpus):
 
 
 def test_add_routes_to_emptiest_shard(mesh, corpus):
+    # host (sequential) build: routing logic is independent of the wave
+    # builder, which the module fixture already covers — and each extra
+    # 8-shard wave build costs ~3min of jit compile on the 1-core CPU
     idx = PartitionedHNSWIndex.build_index(
-        3, 16, 16, 6, corpus[:800], mesh=mesh, batched=True
+        3, 16, 16, 6, corpus[:800], mesh=mesh, batched=False
     )
     sizes_before = [s._rows_used for s in idx.shards]
     probe = corpus[900] / np.linalg.norm(corpus[900])
@@ -99,7 +102,7 @@ def test_add_routes_to_emptiest_shard(mesh, corpus):
 def test_external_ids(mesh, corpus):
     ids = np.arange(800, dtype=np.int64) * 7 + 1_000_000
     idx = PartitionedHNSWIndex.build_index(
-        3, 16, 16, 6, corpus[:800], vector_ids=ids, mesh=mesh
+        3, 16, 16, 6, corpus[:800], vector_ids=ids, mesh=mesh, batched=False
     )
     res = idx.search_batch(corpus[:20], 5)
     assert (res.ids[:, 0] == ids[:20]).all()

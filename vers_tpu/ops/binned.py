@@ -837,12 +837,19 @@ def _pallas_fused_core(
         _, probes = topk_smallest(cdist, nprobe)
     p = probes.shape[1]
 
-    q_parts, qbin_parts, orders = [], [], []
+    q_parts, qbin_parts, orders, lives = [], [], [], []
     qb_parts, gb_parts = [], []
     qb_scratch = p * q_pad_rank // q_blk
     qcol_pad = jnp.zeros((q_n, d_pad - d), queries.dtype)
     for r in range(p):
         bins = probes[:, r].astype(jnp.int32)
+        # gated ranks (adaptive/deficit sentinel bin == num_bins) sort
+        # to the tail; fully-sentinel query blocks get NO work item, so
+        # the kernel never writes their output rows — on real TPU those
+        # rows are uninitialized VMEM garbage. Mask them in the
+        # epilogue: every REAL-bin row is covered by exactly one group,
+        # so only sentinel rows can be unwritten.
+        lives.append((bins < num_bins)[:, None])
         order = jnp.argsort(bins, stable=True)
         q_sorted = jnp.concatenate(
             [jnp.take(queries, order, axis=0), qcol_pad], axis=1
@@ -887,9 +894,14 @@ def _pallas_fused_core(
         # 16k-row order key is measurably slower on TPU)
         inv = jnp.zeros((q_n,), jnp.int32).at[orders[r]].set(iota_q)
         pos = seg_i[inv]
-        out_d.append(seg_d[inv])
+        live = lives[r]
+        out_d.append(jnp.where(live, seg_d[inv], jnp.inf))
         out_i.append(
-            jnp.where(pos >= 0, s2o_padded[jnp.clip(pos, 0, None)], -1)
+            jnp.where(
+                live & (pos >= 0),
+                s2o_padded[jnp.clip(pos, 0, None)],
+                -1,
+            )
         )
     all_d = jnp.concatenate(out_d, axis=1)
     all_i = jnp.concatenate(out_i, axis=1)
