@@ -96,6 +96,25 @@ class HNSWConfig:
     # halves the gather HBM traffic vs f32; "int8" halves it again via
     # symmetric per-row quantization; final top-k is f32-rescored).
     nav_dtype: str = "bfloat16"
+    # Neighborhood-inlined navigation (ops/beam_inline.py): when set,
+    # the device cache additionally holds, per node, the concatenation
+    # of its layer-0 neighbours' ``nav_inline_dp``-dim PCA-projected
+    # bf16 vectors, and the layer-0 beam gathers Q*expand WIDE rows per
+    # step instead of Q*expand*deg thin ones. TPU row gathers are
+    # row-op-bound (~15.5 ns/row; benchmarks/tpu_gather_micro.py), so
+    # this removes the measured 1M-scale bottleneck at the cost of
+    # (n, deg*dp) bf16 of HBM and PCA-approximate navigation (the final
+    # beam is always exact-f32 rescored). None -> classic row gathers.
+    nav_inline_dp: Optional[int] = None
+    # Exact-refine width for the inline beam. Projection-only beam
+    # RETENTION collapses when true neighbours differ at
+    # projection-noise scale (measured 0.50 recall at 1M x 300,
+    # 244-member clusters, dp=64) — so by default each step exact-bf16
+    # rescores the top ``2*ef`` projection-filtered candidates and the
+    # beam ranks in exact space end to end (rows gathered per step:
+    # refine width instead of expand*deg). None -> auto (2*ef);
+    # 0 -> pure projected navigation (fastest, data-dependent recall).
+    nav_inline_refine: Optional[int] = None
     # Beam width for the routing layers (> 0). The reference uses
     # ef_search on every layer (`hnsw.rs:526-536`), but routing only
     # has to land the entry point for the layer below. Measured on TPU

@@ -569,6 +569,32 @@ class HNSWIndex(Index):
         cache["adjs"][l] = dev.at[jnp.asarray(rows, jnp.int32)].set(
             jnp.asarray(mat)
         )
+        if l == 0 and cache.get("inline") is not None:
+            self._refresh_inline_rows(cache, rows, widened=need > width)
+
+    def _refresh_inline_rows(self, cache, rows, widened: bool) -> None:
+        """Keep the inline neighbourhood table (config.nav_inline_dp)
+        consistent after in-place layer-0 adjacency patches: recompute
+        the touched rows' concatenated-neighbour blocks from the
+        projected table. A degree WIDENING changes the table width —
+        rebuild it wholesale (one device pass; rare)."""
+        from vers_tpu.ops.beam_inline import build_inline_table
+
+        inline = cache["inline"]
+        proj = inline["proj"]
+        dp = int(proj.shape[1])
+        adj0 = cache["adjs"][0]
+        if widened or inline["tab"].shape[1] != adj0.shape[1] * dp:
+            inline["tab"] = build_inline_table(proj, adj0, dp)
+            return
+        n_pad = proj.shape[0]
+        r = jnp.asarray(np.asarray(rows, np.int64).astype(np.int32))
+        a = jnp.take(adj0, r, axis=0)                     # (t, deg)
+        v = jnp.take(proj, jnp.clip(a, 0, n_pad - 1), axis=0)
+        v = jnp.where((a >= 0)[:, :, None], v, 0)
+        inline["tab"] = inline["tab"].at[r].set(
+            v.reshape(r.shape[0], -1)
+        )
 
     def _add_node_device(self, emb: np.ndarray, vid: int) -> bool:
         from vers_tpu.ops.beam import insertion_candidates
@@ -599,6 +625,18 @@ class HNSWIndex(Index):
                 )
                 for a in cache["adjs"]
             ]
+            if cache.get("inline") is not None:
+                inline = cache["inline"]
+                inline["proj"] = jnp.concatenate(
+                    [inline["proj"],
+                     jnp.zeros((grow, inline["proj"].shape[1]),
+                               inline["proj"].dtype)]
+                )
+                inline["tab"] = jnp.concatenate(
+                    [inline["tab"],
+                     jnp.zeros((grow, inline["tab"].shape[1]),
+                               inline["tab"].dtype)]
+                )
         # write the vector; the new row has no incoming edges yet so it
         # is invisible to the descent below
         qrow = jnp.asarray(emb)
@@ -614,6 +652,14 @@ class HNSWIndex(Index):
         else:
             cache["vecs_nav"] = cache["vecs_nav"].at[row].set(
                 qrow.astype(cache["vecs_nav"].dtype)
+            )
+        if cache.get("inline") is not None:
+            from vers_tpu.ops.beam_inline import project_rows
+
+            inline = cache["inline"]
+            dp = int(inline["proj"].shape[1])
+            inline["proj"] = inline["proj"].at[row].set(
+                project_rows(qrow[None], inline["basis"], dp)[0]
             )
         if self._corpus_dev is not None:
             self._corpus_dev = cache["vecs"]
@@ -819,6 +865,10 @@ class HNSWIndex(Index):
             else to_device(g["vecs"])
         )
         nav_dtype = getattr(self.config, "nav_dtype", "bfloat16")
+        if getattr(self.config, "nav_inline_dp", None) and nav_dtype == "int8":
+            # the inline beam's exact-refine step rescoring needs a
+            # plain bf16 full-dim table (no dequant-scale gathers)
+            nav_dtype = "bfloat16"
         # navigation table: the beam loop is bound by its random row
         # gathers, so a narrower table dtype is ~linear speedup. bf16
         # halves the bytes vs f32; int8 (symmetric per-row quant)
@@ -854,6 +904,28 @@ class HNSWIndex(Index):
             )
         else:
             l1_members = l1_tab = None
+        # Neighborhood-inlined nav table (config.nav_inline_dp): per
+        # node, its layer-0 neighbours' PCA-projected bf16 vectors
+        # concatenated — the beam then gathers Q*expand WIDE rows per
+        # step instead of Q*expand*deg thin ones (row-op-bound
+        # breaker; ops/beam_inline.py).
+        inline_dp = getattr(self.config, "nav_inline_dp", None)
+        inline = None
+        if inline_dp and adjs:
+            from vers_tpu.ops.beam_inline import (
+                build_inline_table,
+                pca_projection,
+                project_rows,
+            )
+
+            dp = int(inline_dp)
+            basis = pca_projection(vecs_dev, dp)
+            proj = project_rows(vecs_dev, basis, dp)
+            inline = dict(
+                basis=basis,
+                proj=proj,
+                tab=build_inline_table(proj, adjs[0], dp),
+            )
         self._device_cache = dict(
             vecs=vecs_dev,
             vecs_nav=vecs_nav,
@@ -865,6 +937,7 @@ class HNSWIndex(Index):
             node_ids=node_ids,
             node_ids_dev=device_id_map(node_ids),
             entry=g["entry"],
+            inline=inline,
         )
         return self._device_cache
 
@@ -894,6 +967,31 @@ class HNSWIndex(Index):
             # (ops/beam.py full_descent_scan). Replaces the per-layer
             # routing beams entirely — see route_mode in config.py.
             seeds = getattr(self.config, "route_seeds", 0) or min(ef, 8)
+            if cache.get("inline") is not None:
+                from vers_tpu.ops.beam_inline import full_descent_scan_inline
+
+                inline = cache["inline"]
+                refine = getattr(self.config, "nav_inline_refine", None)
+                if refine is None:
+                    refine = 2 * ef  # exact-retention default
+                return full_descent_scan_inline(
+                    qdev,
+                    cache["vecs"],
+                    cache["vecs_nav"],
+                    inline["basis"],
+                    inline["proj"],
+                    inline["tab"],
+                    cache["adjs"][0],
+                    cache["l1_tab"],
+                    cache["l1_members"],
+                    cache["n1"],
+                    top_k=top_k,
+                    ef=ef,
+                    seeds=seeds,
+                    expand=expand,
+                    steps_cap=steps_cap,
+                    refine_r=int(refine),
+                )
             return full_descent_scan(
                 qdev,
                 cache["vecs"],
