@@ -61,36 +61,16 @@ def main():
 
     base_cfg = h.config
     results = []
-    # round 2 of the A/B (first round recorded in tpu_results.jsonl:
-    # gather 17.9k @ 0.9801; inline refine=96 22.5k @ 0.9902, refine=0
-    # 32.3k @ 0.4981 — the uncapped loop runs a long straggler tail, so
-    # this round sweeps the step cap at the refine=96 sweet spot).
-    combos = [
-        ("inline r=96 cap=None",
-         dict(max_degree=32, route_seeds=32, beam_expand=8,
-              nav_inline_dp=64, nav_inline_refine=96)),
-        ("inline r=96 cap=16",
-         dict(max_degree=32, route_seeds=32, beam_expand=8,
-              nav_inline_dp=64, nav_inline_refine=96, beam_steps=16)),
-        ("inline r=96 cap=12",
-         dict(max_degree=32, route_seeds=32, beam_expand=8,
-              nav_inline_dp=64, nav_inline_refine=96, beam_steps=12)),
-        ("inline r=96 cap=10",
-         dict(max_degree=32, route_seeds=32, beam_expand=8,
-              nav_inline_dp=64, nav_inline_refine=96, beam_steps=10)),
-        ("inline r=96 cap=8",
-         dict(max_degree=32, route_seeds=32, beam_expand=8,
-              nav_inline_dp=64, nav_inline_refine=96, beam_steps=8)),
-        ("inline r=96 cap=6",
-         dict(max_degree=32, route_seeds=32, beam_expand=8,
-              nav_inline_dp=64, nav_inline_refine=96, beam_steps=6)),
-        ("inline r=96 cap=8 s=64",
-         dict(max_degree=32, route_seeds=64, beam_expand=8,
-              nav_inline_dp=64, nav_inline_refine=96, beam_steps=8)),
-        ("inline r=64 cap=8 e=4",
-         dict(max_degree=32, route_seeds=32, beam_expand=4,
-              nav_inline_dp=64, nav_inline_refine=64, beam_steps=8)),
-    ]
+    # COMBOS_JSON env overrides the default list:
+    #   [{"name": "...", "max_degree": 32, ...}, ...]  (_ef = ef_search)
+    # Default list = round 3 of the A/B; earlier rounds recorded in
+    # tpu_results.jsonl (gather 17.9k @ 0.9801 -> refine=96 22.5k @
+    # 0.9902 -> e=4 r=64 cap=8 s=16 37.3k @ 0.9889).
+    combos_env = os.environ.get("COMBOS_JSON")
+    if combos_env:
+        combos = [(c.pop("name"), c) for c in json.loads(combos_env)]
+    else:
+        combos = _default_combos()
     last_key = object()
     for name, kw in combos:
         kw = dict(kw)
@@ -121,6 +101,36 @@ def main():
     print(json.dumps(dict(config="hnsw-1m-inline-ab", n=n, d=d, q=q_n,
                           results=results, ts="2026-08-19")),
           flush=True)
+
+
+def _default_combos():
+    return [
+        ("inline e=4 r=64 cap=8",
+         dict(max_degree=32, route_seeds=32, beam_expand=4,
+              nav_inline_dp=64, nav_inline_refine=64, beam_steps=8)),
+        ("inline e=4 r=64 cap=6",
+         dict(max_degree=32, route_seeds=32, beam_expand=4,
+              nav_inline_dp=64, nav_inline_refine=64, beam_steps=6)),
+        ("inline e=4 r=48 cap=8",
+         dict(max_degree=32, route_seeds=32, beam_expand=4,
+              nav_inline_dp=64, nav_inline_refine=48, beam_steps=8)),
+        ("inline e=4 r=64 cap=8 dp96",
+         dict(max_degree=32, route_seeds=32, beam_expand=4,
+              nav_inline_dp=96, nav_inline_refine=64, beam_steps=8)),
+        ("inline e=2 r=48 cap=12",
+         dict(max_degree=32, route_seeds=32, beam_expand=2,
+              nav_inline_dp=64, nav_inline_refine=48, beam_steps=12)),
+        ("inline e=4 r=64 cap=8 ef40",
+         dict(max_degree=32, route_seeds=32, beam_expand=4,
+              nav_inline_dp=64, nav_inline_refine=64, beam_steps=8,
+              _ef=40)),
+        ("inline e=4 r=96 cap=6",
+         dict(max_degree=32, route_seeds=32, beam_expand=4,
+              nav_inline_dp=64, nav_inline_refine=96, beam_steps=6)),
+        ("inline e=4 r=64 cap=8 s=16",
+         dict(max_degree=32, route_seeds=16, beam_expand=4,
+              nav_inline_dp=64, nav_inline_refine=64, beam_steps=8)),
+    ]
 
 
 if __name__ == "__main__":
