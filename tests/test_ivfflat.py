@@ -240,3 +240,23 @@ def test_incremental_add_slack_exhaustion_rebuilds():
         added.append(v)
     res = idx.search_batch(np.stack(added), 1)
     assert (np.asarray(res.ids[:, 0]) == np.arange(200, 240)).all()
+
+
+def test_adaptive_probe_full_width_after_add():
+    """Regression: adaptive probing (nprobe=0) on a slacked layout must
+    size its worst-case depth from OCCUPIED bin sizes, not the slack
+    capacities — else searches after one `add` silently return rows
+    padded with -1/inf (recall loss on the default path)."""
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(256, 16)).astype(np.float32)
+    idx = IVFFlatIndex.build_index(64, 1, 4, x)
+    q = x[rng.integers(0, 256, size=8)]
+    res0 = idx.search_batch(q, 10, nprobe=0)
+    assert (res0.ids >= 0).all()
+    idx.add(rng.normal(size=(16,)).astype(np.float32), 0)
+    assert idx._layout is not None and idx._layout.get("slacked")
+    res1 = idx.search_batch(q, 10, nprobe=0)
+    assert (res1.ids >= 0).all()  # full-width valid results
+    assert np.isfinite(res1.distances).all()
+    truth = exhaustive_batch(x, q, 10)
+    assert recall_at_k(res1.ids, truth) >= recall_at_k(res0.ids, truth) - 1e-9

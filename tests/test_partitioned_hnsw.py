@@ -38,8 +38,10 @@ def test_capacity_partitioned(built, mesh, corpus):
     cache = built._ensure_device_cache()
     n_shards = mesh.shape[SHARD_AXIS]
     per = cache["per"]
-    # each shard's padded block covers its ~n/S rows (+ sublane pad)
-    assert per < corpus.shape[0] // n_shards + 16
+    # each shard's padded block covers its ~n/S rows (+ ~12.5% add
+    # slack, min 64, + sublane pad) — NOT a replica of the corpus
+    n_s = corpus.shape[0] // n_shards
+    assert per <= n_s + max(64, n_s // 8) + 8
     for arr in (cache["vecs"], cache["vecs_nav"], cache["adj0"]):
         shard_shapes = {s.data.shape for s in arr.addressable_shards}
         assert len(shard_shapes) == 1
@@ -109,3 +111,32 @@ def test_external_ids(mesh, corpus):
     # device-resident id path too
     _, dev_ids = idx.search_batch_device(corpus[:20], 5)
     assert (np.asarray(dev_ids)[:, 0] == ids[:20]).all()
+
+
+def test_add_patches_device_cache_in_place(mesh, corpus):
+    """An insert on wave-built shards must patch the assembled sharded
+    cache in place (row scatters), not drop it — re-assembly downloads
+    every device-built shard's corpus. Needs a fresh index (same shapes
+    as the module fixture, so jits are warm): `save_index` materializes
+    the shards' pending graphs, after which adds take the host path and
+    the cache correctly falls back to re-assembly."""
+    built = PartitionedHNSWIndex.build_index(
+        4, 32, 32, 8, corpus, mesh=mesh, batched=True
+    )
+    built.search_batch(corpus[:4], 3)  # ensure the cache exists
+    cache_before = built._device_cache
+    assert cache_before is not None
+    probe = corpus[1200] + 0.3 * np.random.default_rng(17).normal(size=24)
+    probe = (probe / np.linalg.norm(probe)).astype(np.float32)
+    built.add(probe, 99_000)
+    assert built._device_cache is cache_before  # patched, not rebuilt
+    res = built.search_batch(probe[None], 3)
+    assert res.ids[0, 0] == 99_000  # the new vector is its own NN
+    assert res.distances[0, 0] == pytest.approx(0.0, abs=1e-4)
+    # old content still searchable through the patched cache
+    q = corpus[:64]
+    truth = exhaustive_batch(corpus, q, 10)
+    assert recall_at_k(built.search_batch(q, 10).ids, truth) > 0.9
+    # parity path sees it too
+    one = built.search_approximate(probe, 3)
+    assert one[0][0] == 99_000

@@ -414,6 +414,7 @@ class HNSWIndex(Index):
         consumers — save_index, add, search_approximate)."""
         pending, self._pending_graph = self._pending_graph, None
         self._pending_maps = None
+        self._pending_bufs = None
         if pending is None:
             return
         for l, (mem, adj, dist) in enumerate(pending):
@@ -445,6 +446,7 @@ class HNSWIndex(Index):
         materialization, no re-upload. Any other case (arbitrary ids,
         dict-graph index) takes the reference-parity host path."""
         emb = np.asarray(embedding, dtype=np.float32).reshape(-1)
+        self._last_add_patch = None  # set by the fast path below
         if (
             self._pending_graph is not None
             and vec_id == self._rows_used
@@ -500,29 +502,49 @@ class HNSWIndex(Index):
         trim re-selection, recall-equivalent in practice). Returns
         {global row -> packed numpy adjacency row} device patches."""
         mem, adj, dist = self._pending_graph[l]
+        mem = np.asarray(mem, np.int64)
         maps = self._ensure_pending_maps()[l]
-        width = adj.shape[1]
         cap = max(m, 1)
         # width >= cap+1 guarantees (a) room for the selection's m+1
         # quirk and (b) a free slot in any reverse row that is still
         # under cap (rows at >= cap edges take the prune path instead)
-        target_w = max(len(sel_ids), cap + 1)
-        if target_w > width:
-            grow = target_w - width
-            adj = np.pad(adj, ((0, 0), (0, grow)), constant_values=-1)
-            dist = np.pad(
-                dist, ((0, 0), (0, grow)), constant_values=np.inf
-            )
-            width += grow
-        new_adj = np.full((1, width), -1, np.int32)
-        new_dist = np.full((1, width), np.inf, np.float32)
-        new_adj[0, : len(sel_ids)] = sel_ids
-        new_dist[0, : len(sel_ids)] = sel_d
-        mem = np.append(np.asarray(mem, np.int64), np.int64(row))
-        adj = np.concatenate([adj, new_adj])
-        dist = np.concatenate([dist, new_dist.astype(dist.dtype)])
-        maps[row] = len(mem) - 1
-        touched = {row: adj[-1]}
+        target_w = max(len(sel_ids), cap + 1, adj.shape[1])
+        n_live = len(mem)
+        bufs = getattr(self, "_pending_bufs", None)
+        if bufs is None:
+            bufs = self._pending_bufs = {}
+        b = bufs.get(l)
+        if (
+            b is None
+            or mem.base is not b[0]
+            or b[0].shape[0] < n_live + 1
+            or b[1].shape[1] < target_w
+        ):
+            # (Re)allocate row-slacked buffers; the live arrays in
+            # _pending_graph are views into them, so per-add appends are
+            # amortized O(1) instead of copying the whole (n, width)
+            # layer tables per insert. Width growth (degree exceeding
+            # the padded width) stays a rare full copy.
+            r_cap = n_live + max(256, n_live // 4) + 1
+            mem_b = np.empty((r_cap,), np.int64)
+            mem_b[:n_live] = mem
+            adj_b = np.full((r_cap, target_w), -1, np.int32)
+            adj_b[:n_live, : adj.shape[1]] = adj
+            dist_b = np.full((r_cap, target_w), np.inf, dist.dtype)
+            dist_b[:n_live, : adj.shape[1]] = dist
+            bufs[l] = (mem_b, adj_b, dist_b)
+        else:
+            mem_b, adj_b, dist_b = b
+        mem_b[n_live] = row
+        adj_b[n_live, :] = -1
+        dist_b[n_live, :] = np.inf
+        adj_b[n_live, : len(sel_ids)] = sel_ids
+        dist_b[n_live, : len(sel_ids)] = sel_d
+        mem = mem_b[: n_live + 1]
+        adj = adj_b[: n_live + 1]
+        dist = dist_b[: n_live + 1]
+        maps[row] = n_live
+        touched = {row: adj[n_live]}
         for u, du in zip(sel_ids, sel_d):
             r_u = maps.get(int(u))
             if r_u is None:
@@ -554,7 +576,8 @@ class HNSWIndex(Index):
             (int(np.count_nonzero(a >= 0)) for a in touched.values()),
             default=1,
         )
-        if need > width:
+        widened = need > width
+        if widened:
             dev = jnp.concatenate(
                 [dev, jnp.full((dev.shape[0], need - width), -1, jnp.int32)],
                 axis=1,
@@ -570,7 +593,7 @@ class HNSWIndex(Index):
             jnp.asarray(mat)
         )
         if l == 0 and cache.get("inline") is not None:
-            self._refresh_inline_rows(cache, rows, widened=need > width)
+            self._refresh_inline_rows(cache, rows, widened=widened)
 
     def _refresh_inline_rows(self, cache, rows, widened: bool) -> None:
         """Keep the inline neighbourhood table (config.nav_inline_dp)
@@ -675,12 +698,28 @@ class HNSWIndex(Index):
             self._vecs[row] = emb
         self._id_row[vid] = row
         self._rows_used = row + 1
-        cache["node_ids"] = np.append(cache["node_ids"], np.int64(vid))
+        # amortized O(1) id-map appends: node_ids stays an exact-length
+        # VIEW of a row-slacked buffer; node_ids_dev grows in sublane
+        # blocks (padding rows are never gathered — consumers clip to
+        # len(node_ids)).
+        n_ids = len(cache["node_ids"])
+        ibuf = cache.get("_ids_buf")
+        if (
+            ibuf is None
+            or cache["node_ids"].base is not ibuf
+            or ibuf.shape[0] < n_ids + 1
+        ):
+            i_cap = n_ids + max(256, n_ids // 4) + 1
+            nb = np.empty((i_cap,), np.int64)
+            nb[:n_ids] = cache["node_ids"]
+            ibuf = cache["_ids_buf"] = nb
+        ibuf[n_ids] = vid
+        cache["node_ids"] = ibuf[: n_ids + 1]
         nd = cache["node_ids_dev"]
         if nd is not None and -(2**31) <= vid < 2**31:
-            cache["node_ids_dev"] = jnp.concatenate(
-                [nd, jnp.full((1,), vid, jnp.int32)]
-            )
+            if n_ids >= nd.shape[0]:
+                nd = jnp.concatenate([nd, jnp.full((128,), -1, jnp.int32)])
+            cache["node_ids_dev"] = nd.at[n_ids].set(np.int32(vid))
         else:
             cache["node_ids_dev"] = device_id_map(cache["node_ids"])
 
@@ -702,6 +741,7 @@ class HNSWIndex(Index):
         cand_d = np.asarray(cand_d)
         cand_i = np.asarray(cand_i)
         cand_v = np.asarray(cand_v)
+        touched0 = {}
         for j, l in enumerate(range(l_ins, -1, -1)):
             m = 2 * self.num_neighbours if l == 0 else self.num_neighbours
             sel_ids, sel_d = self._select_neighbours_np(
@@ -709,6 +749,8 @@ class HNSWIndex(Index):
             )
             touched = self._pending_insert_layer(l, row, sel_ids, sel_d, m)
             self._patch_device_adj(cache, l, touched)
+            if l == 0:
+                touched0 = touched
         # layer-1 routing table membership
         if l_ins >= 1 and cache.get("l1_tab") is not None:
             n1 = int(cache["n1"])
@@ -726,6 +768,12 @@ class HNSWIndex(Index):
                 qrow.astype(cache["l1_tab"].dtype)
             )
             cache["n1"] = n1 + 1
+        # consumed by PartitionedHNSWIndex to patch ITS assembled cache
+        # in place (rows are views into the pending buffers — read them
+        # before the next insert mutates them)
+        self._last_add_patch = dict(
+            row=row, adj0=touched0, l1_added=l_ins >= 1
+        )
         return True
 
     def search_approximate(self, query, top_k: int) -> List[Tuple[int, float]]:

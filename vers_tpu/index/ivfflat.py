@@ -289,7 +289,13 @@ class IVFFlatIndex(Index):
         nprobe = nprobe if nprobe is not None else self.config.nprobe
         probes = None
         if nprobe == 0:
-            p_max = adaptive_probe_depth(layout["sizes_host"], top_k)
+            # Worst-case depth must come from OCCUPIED sizes: after an
+            # incremental add the layout is slacked and ``sizes_host``
+            # holds per-bin CAPACITIES (ops/binned.slacken_layout), which
+            # would understate the probes needed and silently drop recall.
+            p_max = adaptive_probe_depth(
+                layout.get("true_sizes_host", layout["sizes_host"]), top_k
+            )
             probes = adaptive_probes(
                 qdev, self._centroids_dev, layout["size"],
                 layout["num_bins"], p_max, top_k,

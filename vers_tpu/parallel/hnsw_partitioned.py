@@ -32,8 +32,7 @@ they can run concurrently per host.
 from __future__ import annotations
 
 import functools
-import json
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 import jax
@@ -44,11 +43,10 @@ from jax import shard_map
 
 from vers_tpu.core import device_id_map, round_up
 from vers_tpu.index.hnsw import HNSWIndex
-from vers_tpu.io.bincode import Reader, Writer
-from vers_tpu.models.candidates import SearchResult
 from vers_tpu.ops.beam import full_descent_scan
 from vers_tpu.ops.topk import topk_smallest
 from vers_tpu.parallel.mesh import SHARD_AXIS, make_mesh
+from vers_tpu.parallel.partitioned import PartitionedIndexBase
 
 
 @functools.partial(
@@ -105,38 +103,24 @@ def _partitioned_search(
     return fin_d, jnp.where(jnp.isfinite(fin_d), fin_i, -1)
 
 
-class PartitionedHNSWIndex:
+class PartitionedHNSWIndex(PartitionedIndexBase):
     """One HNSW subgraph per mesh shard over that shard's corpus rows.
 
     ``shards`` are plain single-chip `HNSWIndex` objects with LOCAL
     identity node ids (0..n_s-1); ``gids[s]`` maps shard s's local rows
     to external ids. Construction, single-query parity search, adds and
     persistence all work per shard on the host; only `search_batch`
-    compiles against the mesh.
+    compiles against the mesh. Incremental adds patch the assembled
+    device cache in place (`_patch_device_cache`) — the shard's own
+    fast add already computed the touched adjacency rows.
     """
 
-    def __init__(
-        self,
-        shards: List[HNSWIndex],
-        gids: Optional[List[np.ndarray]] = None,
-        mesh=None,
-    ):
-        self.mesh = mesh or make_mesh()
-        n_shards = self.mesh.shape[SHARD_AXIS]
-        if len(shards) != n_shards:
-            raise ValueError(
-                f"{len(shards)} shards for a {n_shards}-device mesh"
-            )
-        self.shards = shards
-        self.dim = next((s.dim for s in shards if s.dim), 0)
-        if gids is None:
-            offs = np.cumsum([0] + [s._rows_used for s in shards])
-            gids = [
-                np.arange(offs[i], offs[i + 1], dtype=np.int64)
-                for i in range(n_shards)
-            ]
-        self.gids = [np.asarray(g, np.int64) for g in gids]
-        self._device_cache = None
+    _manifest_format = "vers_tpu.partitioned_hnsw.v1"
+    _shard_cls = HNSWIndex
+
+    @staticmethod
+    def _shard_rows(shard) -> int:
+        return shard._rows_used
 
     # -- construction ----------------------------------------------------
 
@@ -203,11 +187,17 @@ class PartitionedHNSWIndex:
             return self._device_cache
         n_shards = self.mesh.shape[SHARD_AXIS]
         graphs = [s._host_graph_arrays() for s in self.shards]
-        per = max(round_up(max(g["n"], 1), 8) for g in graphs)
+        # row slack (~12.5%, min 64) so incremental adds patch in place
+        # for a long stream before a block fills and forces re-assembly
+        # (+ a `per` recompile); padding rows are inert — adj -1, never
+        # seeded.
+        max_n = max(max(g["n"], 1) for g in graphs)
+        per = round_up(max_n + max(64, max_n // 8), 8)
         deg = max(
             (g["adjs"][0].shape[1] if g["adjs"] else 1) for g in graphs
         )
-        n1_pad = max(round_up(max(int(g["l1_rows"].size), 1), 8) for g in graphs)
+        max_l1 = max(max(int(g["l1_rows"].size), 1) for g in graphs)
+        n1_pad = round_up(max_l1 + 16, 8)
 
         vecs = np.zeros((n_shards * per, self.dim), np.float32)
         adj0 = np.full((n_shards * per, deg), -1, np.int32)
@@ -257,6 +247,8 @@ class PartitionedHNSWIndex:
             l1_tab=jax.device_put(l1_tab, sh).astype(jnp.bfloat16),
             l1_members=jax.device_put(l1_members, sh),
             n1s=jax.device_put(n1s, sh),
+            n1s_host=n1s.copy(),
+            n1_pad=n1_pad,
             per=per,
             row_to_gid=row_to_gid,
             row_to_gid_dev=device_id_map(row_to_gid),
@@ -265,25 +257,68 @@ class PartitionedHNSWIndex:
 
     # -- Index API ---------------------------------------------------------
 
-    def add(self, embedding, vec_id: int) -> None:
-        """Route the insert to the emptiest shard (its local incremental
-        add); per-chip state stays ~1/n_shards as the index grows."""
-        s = int(np.argmin([sh._rows_used for sh in self.shards]))
+    def _patch_device_cache(
+        self, s: int, local_id: int, emb: np.ndarray, vec_id: int
+    ) -> bool:
+        """Apply one insert to the assembled sharded cache in place: a
+        handful of row scatters instead of a full re-assembly (which
+        for device-built shards even re-DOWNLOADS their corpora).
+        Returns False — cache dropped, lazily re-assembled — when the
+        shard took its host add path, its block or layer-1 slots are
+        full, or a touched row outgrew the cache's padded degree."""
+        cache = self._device_cache
         shard = self.shards[s]
-        local_id = shard._rows_used
-        shard.add(np.asarray(embedding, np.float32), local_id)
-        self.gids[s] = np.append(self.gids[s], np.int64(vec_id))
-        self._device_cache = None
-
-    def search_approximate(self, query, top_k: int):
-        """Single-query parity path: every shard's host descent, global
-        merge by distance."""
-        out = []
-        for s, shard in enumerate(self.shards):
-            for lid, dist in shard.search_approximate(query, top_k):
-                out.append((float(dist), int(self.gids[s][lid])))
-        out.sort()
-        return [(gid, dist) for dist, gid in out[:top_k]]
+        patch = getattr(shard, "_last_add_patch", None)
+        if patch is None or patch.get("row") != local_id:
+            return False  # host-path insert: graph dicts changed shape
+        per = cache["per"]
+        if local_id >= per:
+            return False  # shard block full: re-assemble with new slack
+        deg = int(cache["adj0"].shape[1])
+        rows, mats = [], []
+        for r, a in patch["adj0"].items():
+            v = a[a >= 0]
+            if len(v) > deg:
+                return False  # would truncate edges
+            packed = np.full((deg,), -1, np.int32)
+            packed[: len(v)] = v
+            rows.append(s * per + int(r))
+            mats.append(packed)
+        if patch["l1_added"]:
+            n1 = int(cache["n1s_host"][s])
+            if n1 >= cache["n1_pad"]:
+                return False  # layer-1 slots full
+        q = jnp.asarray(emb)
+        grow = s * per + local_id
+        cache["vecs"] = cache["vecs"].at[grow].set(q)
+        cache["vecs_nav"] = cache["vecs_nav"].at[grow].set(
+            q.astype(cache["vecs_nav"].dtype)
+        )
+        if rows:
+            ridx = jnp.asarray(np.asarray(rows, np.int32))
+            cache["adj0"] = cache["adj0"].at[ridx].set(
+                jnp.asarray(np.stack(mats))
+            )
+        if patch["l1_added"]:
+            pos = s * cache["n1_pad"] + n1
+            cache["l1_members"] = cache["l1_members"].at[pos].set(
+                np.int32(local_id)
+            )
+            cache["l1_tab"] = cache["l1_tab"].at[pos].set(
+                q.astype(cache["l1_tab"].dtype)
+            )
+            cache["n1s_host"][s] = n1 + 1
+            cache["n1s"] = cache["n1s"].at[s].set(np.int32(n1 + 1))
+        cache["row_to_gid"][grow] = vec_id
+        idmap = cache["row_to_gid_dev"]
+        if idmap is not None:
+            if -(2**31) <= vec_id < 2**31:
+                cache["row_to_gid_dev"] = idmap.at[grow].set(
+                    np.int32(vec_id)
+                )
+            else:
+                cache["row_to_gid_dev"] = None  # host mapping only
+        return True
 
     def _search_batch_rows(self, queries, top_k: int):
         cache = self._ensure_device_cache()
@@ -305,72 +340,6 @@ class PartitionedHNSWIndex:
             steps_cap=getattr(cfg, "beam_steps", None),
             per=cache["per"],
         )
-
-    def search_batch(self, queries, top_k: int) -> SearchResult:
-        bd, bi = self._search_batch_rows(queries, top_k)
-        cache = self._device_cache
-        bi = np.asarray(bi)
-        hi = max(len(cache["row_to_gid"]) - 1, 0)
-        ids = np.where(
-            bi >= 0, cache["row_to_gid"][np.clip(bi, 0, hi)], -1
-        )
-        return SearchResult(
-            ids=ids.astype(np.int64), distances=np.asarray(bd)
-        )
-
-    def search_batch_device(self, queries, top_k: int):
-        """Device-resident variant (int32 external ids required)."""
-        bd, bi = self._search_batch_rows(queries, top_k)
-        idmap = self._device_cache["row_to_gid_dev"]
-        if idmap is None:
-            raise ValueError(
-                "external ids exceed int32 range; use search_batch()"
-            )
-        ids = jnp.where(
-            bi >= 0, jnp.take(idmap, jnp.clip(bi, 0, idmap.shape[0] - 1)), -1
-        )
-        return bd, ids
-
-    # -- persistence --------------------------------------------------------
-
-    def save_index(self, file_path: str) -> None:
-        """<path>.manifest.json + one <path>.shard{s} per shard (each a
-        standard single-file HNSW bincode layout with LOCAL ids, loadable
-        by `HNSWIndex.load_index`) + <path>.ids (bincode: one vec_u64 of
-        external ids per shard, local-row order)."""
-        n_shards = len(self.shards)
-        manifest = {
-            "format": "vers_tpu.partitioned_hnsw.v1",
-            "dim": self.dim,
-            "num_shards": n_shards,
-        }
-        with open(file_path + ".manifest.json", "w") as fp:
-            json.dump(manifest, fp)
-        for s, shard in enumerate(self.shards):
-            shard.save_index(f"{file_path}.shard{s}")
-        with open(file_path + ".ids", "wb") as fp:
-            w = Writer(fp)
-            for g in self.gids:
-                w.vec_u64(g.astype(np.uint64))
-
-    @classmethod
-    def load_index(
-        cls, file_path: str, dim: Optional[int] = None, mesh=None
-    ) -> "PartitionedHNSWIndex":
-        with open(file_path + ".manifest.json") as fp:
-            manifest = json.load(fp)
-        dim = dim or manifest["dim"]
-        shards = [
-            HNSWIndex.load_index(f"{file_path}.shard{s}", dim=dim)
-            for s in range(manifest["num_shards"])
-        ]
-        with open(file_path + ".ids", "rb") as fp:
-            r = Reader(fp)
-            gids = [
-                r.vec_u64().astype(np.int64)
-                for _ in range(manifest["num_shards"])
-            ]
-        return cls(shards, gids=gids, mesh=mesh)
 
     def get_num_nodes_in_layers(self) -> List[int]:
         """Global per-layer node counts (sum over shards)."""

@@ -24,8 +24,7 @@ compiled program serves every shard.
 from __future__ import annotations
 
 import functools
-import json
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 import jax
@@ -36,11 +35,10 @@ from jax import shard_map
 
 from vers_tpu.core import device_id_map, round_up
 from vers_tpu.index.lsh import ANNIndex, _forest_search
-from vers_tpu.io.bincode import Reader, Writer
-from vers_tpu.models.candidates import SearchResult
 from vers_tpu.ops.binned import stack_group_tables, static_groups
 from vers_tpu.ops.topk import topk_smallest
 from vers_tpu.parallel.mesh import SHARD_AXIS, make_mesh
+from vers_tpu.parallel.partitioned import PartitionedIndexBase
 
 
 @functools.partial(
@@ -103,37 +101,30 @@ def _partitioned_forest_search(
     return fin_d, jnp.where(jnp.isfinite(fin_d), fin_i, -1)
 
 
-class PartitionedANNIndex:
+class PartitionedANNIndex(PartitionedIndexBase):
     """One RP-forest per mesh shard over that shard's corpus rows.
 
     ``shards`` are single-chip `ANNIndex` objects whose ids are LOCAL
     input ordinals (0..block_rows-1); ``gids[s]`` maps shard s's input
     ordinals to external ids.
+
+    Adds always invalidate the assembled cache (base default): a
+    leaf-split rewrites the shard's tree tables and bin-major corpus
+    order, so there is no cheap row-scatter patch — and re-assembly is
+    host-side only (forest shards keep host `_values`; nothing is
+    downloaded).
     """
 
-    def __init__(
-        self,
-        shards: List[ANNIndex],
-        gids: Optional[List[np.ndarray]] = None,
-        mesh=None,
-    ):
-        self.mesh = mesh or make_mesh()
-        n_shards = self.mesh.shape[SHARD_AXIS]
-        if len(shards) != n_shards:
-            raise ValueError(
-                f"{len(shards)} shards for a {n_shards}-device mesh"
-            )
-        self.shards = shards
-        self.dim = shards[0].dim
-        if gids is None:
-            offs = np.cumsum([0] + [len(s._ids) for s in shards])
-            gids = [
-                np.arange(offs[i], offs[i + 1], dtype=np.int64)
-                for i in range(n_shards)
-            ]
-        self.gids = [np.asarray(g, np.int64) for g in gids]
-        self._device_cache = None
+    _manifest_format = "vers_tpu.partitioned_lsh.v1"
+    _shard_cls = ANNIndex
+
+    def __init__(self, shards, gids=None, mesh=None):
+        super().__init__(shards, gids=gids, mesh=mesh)
         self._plans = {}
+
+    @staticmethod
+    def _shard_rows(shard) -> int:
+        return len(shard._ids)
 
     @classmethod
     def build_index(
@@ -305,23 +296,6 @@ class PartitionedANNIndex:
 
     # -- Index API -----------------------------------------------------------
 
-    def add(self, embedding, vec_id: int) -> None:
-        """Route the insert to the emptiest shard (local leaf-split
-        semantics, `lsh.rs:218-251`)."""
-        s = int(np.argmin([len(g) for g in self.gids]))
-        shard = self.shards[s]
-        shard.add(np.asarray(embedding, np.float32), len(self.gids[s]))
-        self.gids[s] = np.append(self.gids[s], np.int64(vec_id))
-        self._device_cache = None
-
-    def search_approximate(self, query, top_k: int):
-        out = []
-        for s, shard in enumerate(self.shards):
-            for lid, dist in shard.search_approximate(query, top_k):
-                out.append((float(dist), int(self.gids[s][lid])))
-        out.sort()
-        return [(gid, dist) for dist, gid in out[:top_k]]
-
     def _search_batch_rows(
         self, queries, top_k: int, probes_per_tree: Optional[int] = None
     ):
@@ -353,68 +327,3 @@ class PartitionedANNIndex:
         )
         return bd, bi
 
-    def search_batch(
-        self, queries, top_k: int, probes_per_tree: Optional[int] = None
-    ) -> SearchResult:
-        bd, bi = self._search_batch_rows(queries, top_k, probes_per_tree)
-        cache = self._device_cache
-        bi = np.asarray(bi)
-        hi = max(len(cache["row_to_gid"]) - 1, 0)
-        ids = np.where(
-            bi >= 0, cache["row_to_gid"][np.clip(bi, 0, hi)], -1
-        )
-        return SearchResult(
-            ids=ids.astype(np.int64), distances=np.asarray(bd)
-        )
-
-    def search_batch_device(
-        self, queries, top_k: int, probes_per_tree: Optional[int] = None
-    ):
-        bd, bi = self._search_batch_rows(queries, top_k, probes_per_tree)
-        idmap = self._device_cache["row_to_gid_dev"]
-        if idmap is None:
-            raise ValueError(
-                "external ids exceed int32 range; use search_batch()"
-            )
-        ids = jnp.where(
-            bi >= 0, jnp.take(idmap, jnp.clip(bi, 0, idmap.shape[0] - 1)), -1
-        )
-        return bd, ids
-
-    # -- persistence -----------------------------------------------------------
-
-    def save_index(self, file_path: str) -> None:
-        """<path>.manifest.json + one <path>.shard{s} per shard (each a
-        standard single-file ANNIndex bincode layout with LOCAL ids) +
-        <path>.ids (bincode: one vec_u64 of external ids per shard)."""
-        manifest = {
-            "format": "vers_tpu.partitioned_lsh.v1",
-            "dim": self.dim,
-            "num_shards": len(self.shards),
-        }
-        with open(file_path + ".manifest.json", "w") as fp:
-            json.dump(manifest, fp)
-        for s, shard in enumerate(self.shards):
-            shard.save_index(f"{file_path}.shard{s}")
-        with open(file_path + ".ids", "wb") as fp:
-            w = Writer(fp)
-            for g in self.gids:
-                w.vec_u64(g.astype(np.uint64))
-
-    @classmethod
-    def load_index(
-        cls, file_path: str, dim: Optional[int] = None, mesh=None
-    ) -> "PartitionedANNIndex":
-        with open(file_path + ".manifest.json") as fp:
-            manifest = json.load(fp)
-        shards = [
-            ANNIndex.load_index(f"{file_path}.shard{s}", dim=dim)
-            for s in range(manifest["num_shards"])
-        ]
-        with open(file_path + ".ids", "rb") as fp:
-            r = Reader(fp)
-            gids = [
-                r.vec_u64().astype(np.int64)
-                for _ in range(manifest["num_shards"])
-            ]
-        return cls(shards, gids=gids, mesh=mesh)

@@ -31,9 +31,10 @@ def index_stats(index) -> dict:
             stats["cluster_sizes"] = [len(c) for c in index._ids]
         elif getattr(index, "_layout", None) is not None:
             # device-built index: sizes known without host materialization
-            stats["cluster_sizes"] = [
-                int(s) for s in index._layout["sizes_host"]
-            ]
+            sizes = index._layout.get(
+                "true_sizes_host", index._layout["sizes_host"]
+            )  # slacked layouts keep capacities in sizes_host
+            stats["cluster_sizes"] = [int(s) for s in sizes]
     if hasattr(index, "_trees"):
         stats["num_trees"] = len(index._trees)
         stats["buckets_per_tree"] = [t.num_buckets for t in index._trees]
