@@ -938,7 +938,14 @@ def binned_topk_pallas(
     if chunk is None:
         chunk = 1024
     if r_blk is None:
-        r_blk = max(2048, round_up(layout["max_bin"], chunk))
+        # one chunk per group: each query block matmuls ALL r_blk rows
+        # of its group but only its own bin survives the mask, so
+        # smaller groups cut masked work AND halve merge invocations.
+        # Same-day A/B at 100k x 300 k=256 (2026-08-19): nprobe=1
+        # 1.82M -> 2.00M qps, nprobe=4 581k -> 632k (r_blk 2048 -> 1024);
+        # r_blk=512 loses (work-item count dominates). Bins larger than
+        # the floor bump r_blk up (whole-bin groups are required).
+        r_blk = max(1024, round_up(layout["max_bin"], chunk))
     r_blk = round_up(max(r_blk, layout["max_bin"], top_k), chunk)
     padded = padded_group_layout(layout, r_blk)
     if q_blk is None:
