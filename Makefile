@@ -24,10 +24,29 @@ native:
 	g++ -O3 -shared -fPIC -std=c++17 vers_tpu/native/io_native.cpp \
 	  -o vers_tpu/native/libversio.so
 
+# quick tier: skips the `slow`-marked wave-build / partitioned /
+# subprocess-dryrun tests so the edit-test loop stays under ~5 min on
+# this 1-core host. `test-all` is the full pyramid (CI / end of round).
 test:
+	python -m pytest tests/ -x -q -m "not slow"
+
+test-all:
 	python -m pytest tests/ -x -q
 
 bench:
 	python bench.py
 
-.PHONY: download download-sift download-glove native test bench
+# Rehearse the driver's exact end-of-round commands (VERDICT r3 #6):
+# canary gate -> bench.py -> multichip dryrun. No round ends without
+# this green. Each step fails loudly on rc != 0.
+preflight:
+	python -c "from vers_tpu.utils.profiling import tunnel_canary, \
+	enable_compilation_cache; enable_compilation_cache(); \
+	s = tunnel_canary(); print(f'canary {s:.3f}s/call'); \
+	assert s < 0.2, f'tunnel degraded ({s:.3f}s/call) - do not bench now'"
+	python bench.py
+	python -c "import __graft_entry__ as g; g.dryrun_multichip(8); \
+	print('dryrun_multichip(8) ok')"
+	@echo "preflight green"
+
+.PHONY: download download-sift download-glove native test test-all bench preflight

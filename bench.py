@@ -11,9 +11,20 @@ argsort + one-cluster numpy scan per query, single-threaded like the
 reference's query path), measured on the same data at the same recall
 operating point.
 
+Robustness (VERDICT r3 #1): the remote TPU tunnel is documented to
+degrade for long stretches, so every engine row runs under failure
+isolation — a crashed extra (LSH/HNSW/flat variants) logs to stderr
+and omits its fields; the JSON headline prints unconditionally once
+any operating point exists. A tunnel canary runs before the timed
+sections and its per-call latency is recorded in the metric string
+(`canary=`), so a degraded-window artifact is distinguishable from a
+regression. Device state is released between engines (the r3 failure
+was HBM pressure from four engines' layouts held live at once).
+
 Side diagnostics (recall, build time, flat-scan QPS) go to stderr.
 """
 
+import gc
 import json
 import os
 import sys
@@ -33,6 +44,23 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def run_row(name, fn, retries=1):
+    """Failure isolation for one engine row: returns fn() or None.
+    Retries once on RESOURCE_EXHAUSTED (transient HBM/tunnel pressure)
+    after a gc pass; any other failure logs and omits the row."""
+    for attempt in range(retries + 1):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — isolation is the point
+            msg = f"{type(e).__name__}: {e}"
+            log(f"ROW[{name}] attempt {attempt + 1} failed: {msg[:300]}")
+            if attempt < retries and "RESOURCE_EXHAUSTED" in msg:
+                gc.collect()
+                time.sleep(2.0)
+                continue
+            return None
+
+
 def main():
     import jax
 
@@ -44,12 +72,26 @@ def main():
     import jax.numpy as jnp
     from vers_tpu.index.ivfflat import IVFFlatIndex
     from vers_tpu.ops.pallas_topk import distance_topk
-    from vers_tpu.core import normalize_np, round_up
+    from vers_tpu.core import round_up
     from vers_tpu.utils.data import dataset_path, load_wiki_vector, synthetic_gaussian
     from vers_tpu.utils.harness import recall_at_k
-    from vers_tpu.utils.profiling import timed_device
+    from vers_tpu.utils.profiling import timed_device, tunnel_canary
 
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
+
+    # -- tunnel canary (CLAUDE.md recipe): timings taken in a degraded
+    # window measure the tunnel, not the code — record the health
+    # number so the artifact carries its own context. Re-probe a couple
+    # of times if unhealthy (degradation often passes within a minute).
+    canary_s = tunnel_canary()
+    for _ in range(2):
+        if canary_s < 0.2:
+            break
+        log(f"canary {canary_s:.3f}s/call — degraded window, re-probing in 30s")
+        time.sleep(30)
+        canary_s = min(canary_s, tunnel_canary())
+    degraded = canary_s >= 0.2
+    log(f"tunnel canary: {canary_s:.4f}s/call degraded={degraded}")
 
     wiki = dataset_path("wiki-news-300d-1M.vec")
     if wiki:
@@ -73,59 +115,80 @@ def main():
     truth = np.asarray(ti)
 
     # flat exact QPS (diagnostic + fallback operating point)
-    t_flat, _ = timed_device(
-        lambda: distance_topk(qdev, corpus, n, TOP_K), warmup=1, iters=2, depth=8
-    )
-    log(f"flat exact: {Q / t_flat:.0f} qps ({t_flat*1e3:.1f} ms / {Q} queries)")
+    def row_flat():
+        t_flat, _ = timed_device(
+            lambda: distance_topk(qdev, corpus, n, TOP_K),
+            warmup=1, iters=2, depth=8,
+        )
+        log(f"flat exact: {Q / t_flat:.0f} qps ({t_flat*1e3:.1f} ms / {Q} queries)")
+        return t_flat
+
+    t_flat = run_row("flat-exact", row_flat)
 
     # approx flat (TPU PartialReduce scan): often the best operating
     # point at recall ~0.99
-    from vers_tpu.ops.topk import approx_scan_topk
+    def row_approx():
+        from vers_tpu.ops.topk import approx_scan_topk
 
-    fa = lambda: approx_scan_topk(
-        qdev, corpus, n, TOP_K, chunk_size=min(131072, n_pad)
-    )
-    _, ai = fa()
-    approx_rec = recall_at_k(np.asarray(ai), truth)
-    t_approx, _ = timed_device(fa, warmup=1, iters=2, depth=8)
-    log(
-        f"flat approx: {Q / t_approx:.0f} qps recall@10={approx_rec:.4f}"
-    )
+        fa = lambda: approx_scan_topk(
+            qdev, corpus, n, TOP_K, chunk_size=min(131072, n_pad)
+        )
+        _, ai = fa()
+        rec = recall_at_k(np.asarray(ai), truth)
+        t, _ = timed_device(fa, warmup=1, iters=2, depth=8)
+        log(f"flat approx: {Q / t:.0f} qps recall@10={rec:.4f}")
+        return rec, t
+
+    approx = run_row("flat-approx", row_approx)
 
     # bucket-min Pallas scan: scores never leave VMEM; try two chunk
     # sizes (bigger chunks amortize the VPU reduction at larger d)
-    from vers_tpu.ops.pallas_bucket import bucket_scan_topk
+    def row_bucket():
+        from vers_tpu.ops.pallas_bucket import bucket_scan_topk
 
-    bucket_rec, t_bucket = 0.0, float("inf")
-    for ck in (2048, 4096):
-        fb = lambda ck=ck: bucket_scan_topk(
-            qdev, corpus, n, TOP_K, chunk_size=ck,
-            interpret=jax.default_backend() != "tpu",
-        )
-        try:
-            _, bi = fb()
-            rec_ck = recall_at_k(np.asarray(bi), truth)
-            t_ck, _ = timed_device(fb, warmup=1, iters=2, depth=8)
-        except Exception as e:  # tile too big for VMEM on this config
-            log(f"flat bucket chunk={ck}: failed ({str(e)[:80]})")
-            continue
-        log(f"flat bucket chunk={ck}: {Q / t_ck:.0f} qps recall@10={rec_ck:.4f}")
-        if rec_ck >= TARGET_RECALL and t_ck < t_bucket:
-            bucket_rec, t_bucket = rec_ck, t_ck
+        best_rec, best_t = 0.0, float("inf")
+        for ck in (2048, 4096):
+            fb = lambda ck=ck: bucket_scan_topk(
+                qdev, corpus, n, TOP_K, chunk_size=ck,
+                interpret=jax.default_backend() != "tpu",
+            )
+            try:
+                _, bi = fb()
+                rec_ck = recall_at_k(np.asarray(bi), truth)
+                t_ck, _ = timed_device(fb, warmup=1, iters=2, depth=8)
+            except Exception as e:  # tile too big for VMEM on this config
+                log(f"flat bucket chunk={ck}: failed ({str(e)[:80]})")
+                continue
+            log(f"flat bucket chunk={ck}: {Q / t_ck:.0f} qps recall@10={rec_ck:.4f}")
+            if rec_ck >= TARGET_RECALL and t_ck < best_t:
+                best_rec, best_t = rec_ck, t_ck
+        return best_rec, best_t
+
+    bucket = run_row("flat-bucket", row_bucket)
+
+    # release the flat-scan corpus before the binned engines build
+    # their own layouts (HBM pressure isolation between engines)
+    del corpus
+    gc.collect()
 
     # IVFFlat build (jitted Lloyd, 2 restarts, 10 iters). The cold
     # number includes the one-time XLA compile (dominant on a remote
     # tunnel); the warm number is the steady-state rebuild cost a
     # serving deployment actually pays, so report both.
-    t0 = time.perf_counter()
-    index = IVFFlatIndex.build_index(K_CLUSTERS, 2, 10, vectors)
-    build_s = time.perf_counter() - t0
-    log(f"ivfflat build k={K_CLUSTERS}: {build_s:.2f}s (cold, incl. compile)")
-    t0 = time.perf_counter()
-    IVFFlatIndex.build_index(K_CLUSTERS, 2, 10, vectors)._ensure_layout()
-    build_warm_s = time.perf_counter() - t0
-    log(f"ivfflat build k={K_CLUSTERS}: {build_warm_s:.2f}s (warm cache)")
-    index._ensure_layout()
+    def row_ivf_build():
+        t0 = time.perf_counter()
+        idx = IVFFlatIndex.build_index(K_CLUSTERS, 2, 10, vectors)
+        cold = time.perf_counter() - t0
+        log(f"ivfflat build k={K_CLUSTERS}: {cold:.2f}s (cold, incl. compile)")
+        t0 = time.perf_counter()
+        IVFFlatIndex.build_index(K_CLUSTERS, 2, 10, vectors)._ensure_layout()
+        warm = time.perf_counter() - t0
+        log(f"ivfflat build k={K_CLUSTERS}: {warm:.2f}s (warm cache)")
+        idx._ensure_layout()
+        return idx, cold, warm
+
+    built = run_row("ivfflat-build", row_ivf_build)
+    index, build_s, build_warm_s = built if built else (None, -1.0, -1.0)
 
     # CPU build proxy: single-threaded numpy re-enactment of the
     # reference's Lloyd loop (`ivfflat.rs:73-100`: full assignment pass
@@ -158,35 +221,52 @@ def main():
     # find the cheapest nprobe meeting the recall bar, then time it
     # (queries pre-placed on device: upload is not part of the timed path)
     budget_s = float(os.environ.get("BENCH_BUDGET", 480))
-    t_start = time.perf_counter()
-    best = None
-    for nprobe in (1, 2, 4, 8, 16, 32, 64):
-        if nprobe > K_CLUSTERS:
-            break
-        res = index.search_batch(qdev, TOP_K, nprobe=nprobe)
-        rec = recall_at_k(res.ids, truth)
-        t_q, _ = timed_device(
-            lambda np_=nprobe: index.search_batch_device(qdev, TOP_K, nprobe=np_),
-            warmup=0,
-            iters=2,
-            depth=8,
-        )
-        qps = Q / t_q
-        log(f"nprobe={nprobe}: recall@10={rec:.4f} qps={qps:.0f}")
-        if best is None or rec >= TARGET_RECALL:
-            best = (nprobe, rec, qps)
-        if rec >= TARGET_RECALL or time.perf_counter() - t_start > budget_s:
-            break
-    nprobe, rec, qps = best
+
+    def row_ivf():
+        t_start = time.perf_counter()
+        best = None
+        for nprobe in (1, 2, 4, 8, 16, 32, 64):
+            if nprobe > K_CLUSTERS:
+                break
+            res = index.search_batch(qdev, TOP_K, nprobe=nprobe)
+            rec = recall_at_k(res.ids, truth)
+            t_q, _ = timed_device(
+                lambda np_=nprobe: index.search_batch_device(
+                    qdev, TOP_K, nprobe=np_
+                ),
+                warmup=0, iters=2, depth=8,
+            )
+            qps = Q / t_q
+            log(f"nprobe={nprobe}: recall@10={rec:.4f} qps={qps:.0f}")
+            if best is None or rec >= TARGET_RECALL:
+                best = (nprobe, rec, qps)
+            if rec >= TARGET_RECALL or time.perf_counter() - t_start > budget_s:
+                break
+        return best
+
+    ivf = run_row("ivfflat", row_ivf) if index is not None else None
+
     # pick the best operating point that meets the recall bar across
-    # the three engines (IVF sweep / approx flat scan / exact flat)
-    operating = [("ivfflat", nprobe, rec, qps)]
-    if approx_rec >= TARGET_RECALL:
-        operating.append(("flat-approx", 0, approx_rec, Q / t_approx))
-    if bucket_rec >= TARGET_RECALL:
-        operating.append(("flat-bucket", 0, bucket_rec, Q / t_bucket))
-    operating.append(("flat-exact", 0, 1.0, Q / t_flat))
-    ok = [o for o in operating if o[2] >= TARGET_RECALL]
+    # the engines measured so far (IVF sweep / approx flat / bucket /
+    # exact flat)
+    operating = []
+    if ivf is not None:
+        operating.append(("ivfflat",) + ivf)
+    if approx is not None and approx[0] >= TARGET_RECALL:
+        operating.append(("flat-approx", 0, approx[0], Q / approx[1]))
+    if bucket is not None and bucket[0] >= TARGET_RECALL:
+        operating.append(("flat-bucket", 0, bucket[0], Q / bucket[1]))
+    if t_flat is not None:
+        operating.append(("flat-exact", 0, 1.0, Q / t_flat))
+    ok = [o for o in operating if o[2] >= TARGET_RECALL] or operating
+    if not ok:
+        log("FATAL: every engine row failed — no operating point")
+        print(json.dumps({
+            "metric": f"batched QPS @ recall@10>={TARGET_RECALL} "
+            f"(all engines failed, canary={canary_s:.3f}s)",
+            "value": 0.0, "unit": "qps", "vs_baseline": 0.0,
+        }))
+        return
     engine, nprobe, rec, qps = max(ok, key=lambda o: o[3])
     log(f"operating point: {engine} nprobe={nprobe} recall={rec:.4f}")
 
@@ -194,78 +274,117 @@ def main():
     # documents all four engines — VERDICT r2 #5). BENCH_FULL=0 skips.
     extra = ""
     if int(os.environ.get("BENCH_FULL", "1")):
-        from vers_tpu.index.hnsw import HNSWIndex
-        from vers_tpu.index.lsh import ANNIndex
+        # drop the IVF device layout (incl. the Pallas regrouped copy)
+        # before LSH stacks its forest state — peak-HBM isolation; it
+        # lazily rebuilds from host mirrors if searched again later.
+        if index is not None:
+            index._layout = None
+            index._values_dev = None
+        gc.collect()
 
-        t0 = time.perf_counter()
-        lsh = ANNIndex.build_index(8, 100, vectors, np.arange(n))
-        lsh_build_s = time.perf_counter() - t0
-        res = lsh.search_batch(qdev, TOP_K)  # auto-probes (deficit rule)
-        lsh_rec = recall_at_k(res.ids, truth)
-        t_l, _ = timed_device(
-            lambda: lsh.search_batch_device(qdev, TOP_K),
-            warmup=1, iters=2, depth=8,
-        )
-        log(
-            f"lsh auto-probes: recall@10={lsh_rec:.4f} "
-            f"qps={Q / t_l:.0f} build={lsh_build_s:.1f}s"
-        )
-        t0 = time.perf_counter()
-        hnsw = HNSWIndex.build_index_batched(
-            8, 100, 32, 16, vectors, wave_cap=2048
-        )
-        hnsw_build_s = time.perf_counter() - t0
-        res = hnsw.search_batch(qdev, TOP_K)  # ef=32
-        hnsw_rec = recall_at_k(res.ids, truth)
-        t_h, _ = timed_device(
-            lambda: hnsw.search_batch_device(qdev, TOP_K),
-            warmup=1, iters=2, depth=8,
-        )
-        log(
-            f"hnsw ef=32: recall@10={hnsw_rec:.4f} "
-            f"qps={Q / t_h:.0f} build={hnsw_build_s:.1f}s"
-        )
-        extra = (
-            f", lsh_qps={Q / t_l:.0f}, lsh_recall={lsh_rec:.4f}, "
-            f"hnsw_qps={Q / t_h:.0f}, hnsw_recall={hnsw_rec:.4f}"
-        )
+        def row_lsh():
+            from vers_tpu.index.lsh import ANNIndex
+
+            t0 = time.perf_counter()
+            lsh = ANNIndex.build_index(8, 100, vectors, np.arange(n))
+            lsh_build_s = time.perf_counter() - t0
+            res = lsh.search_batch(qdev, TOP_K)  # auto-probes (deficit rule)
+            lsh_rec = recall_at_k(res.ids, truth)
+            t_l, _ = timed_device(
+                lambda: lsh.search_batch_device(qdev, TOP_K),
+                warmup=1, iters=2, depth=8,
+            )
+            log(
+                f"lsh auto-probes: recall@10={lsh_rec:.4f} "
+                f"qps={Q / t_l:.0f} build={lsh_build_s:.1f}s"
+            )
+            # fixed probes=4: the deficit rule is parity-faithful but
+            # conservative (lsh.rs:203-214); this row documents the
+            # engine's real quality-throughput curve (VERDICT r3 #4)
+            res4 = lsh.search_batch(qdev, TOP_K, probes_per_tree=4)
+            rec4 = recall_at_k(res4.ids, truth)
+            t_l4, _ = timed_device(
+                lambda: lsh.search_batch_device(qdev, TOP_K, probes_per_tree=4),
+                warmup=0, iters=2, depth=8,
+            )
+            log(f"lsh probes=4: recall@10={rec4:.4f} qps={Q / t_l4:.0f}")
+            return (
+                f"lsh_qps={Q / t_l:.0f}, lsh_recall={lsh_rec:.4f}, "
+                f"lsh_p4_qps={Q / t_l4:.0f}, lsh_p4_recall={rec4:.4f}, "
+            )
+
+        part = run_row("lsh", row_lsh)
+        if part:
+            extra += ", " + part.rstrip(", ")
+        gc.collect()  # lsh object (stacked forest state) now dead
+
+        def row_hnsw():
+            from vers_tpu.index.hnsw import HNSWIndex
+
+            t0 = time.perf_counter()
+            hnsw = HNSWIndex.build_index_batched(
+                8, 100, 32, 16, vectors, wave_cap=2048
+            )
+            hnsw_build_s = time.perf_counter() - t0
+            res = hnsw.search_batch(qdev, TOP_K)  # ef=32
+            hnsw_rec = recall_at_k(res.ids, truth)
+            t_h, _ = timed_device(
+                lambda: hnsw.search_batch_device(qdev, TOP_K),
+                warmup=1, iters=2, depth=8,
+            )
+            log(
+                f"hnsw ef=32: recall@10={hnsw_rec:.4f} "
+                f"qps={Q / t_h:.0f} build={hnsw_build_s:.1f}s"
+            )
+            return f"hnsw_qps={Q / t_h:.0f}, hnsw_recall={hnsw_rec:.4f}"
+
+        part = run_row("hnsw", row_hnsw)
+        if part:
+            extra += ", " + part
+        gc.collect()
 
     # CPU reference proxy: per-query adaptive IVF walk (single-threaded
     # numpy, mirroring ivfflat.rs:153-198)
-    n_cpu = min(200, Q)
-    centroids = index._centroids
-    members = [np.asarray(m, dtype=np.int64) for m in index._ids]
-    values = index._values
+    def row_proxy():
+        if index is None:
+            raise RuntimeError("no IVF index for the CPU proxy")
+        n_cpu = min(200, Q)
+        centroids = index._centroids
+        members = [np.asarray(m, dtype=np.int64) for m in index._ids]
+        values = index._values
 
-    def proxy_pass():
-        t0 = time.perf_counter()
-        for qi in range(n_cpu):
-            qv = queries[qi]
-            cd = np.sum((centroids - qv[None, :]) ** 2, axis=1)
-            order = np.argsort(cd)
-            got = 0
-            ci = 0
-            while got < TOP_K and ci < len(order):
-                m = members[order[ci]]
-                if len(m):
-                    d2 = np.sum((values[m] - qv[None, :]) ** 2, axis=1)
-                    take = np.argsort(d2)[:TOP_K]
-                    got += len(take)
-                ci += 1
-        return time.perf_counter() - t0
+        def proxy_pass():
+            t0 = time.perf_counter()
+            for qi in range(n_cpu):
+                qv = queries[qi]
+                cd = np.sum((centroids - qv[None, :]) ** 2, axis=1)
+                order = np.argsort(cd)
+                got = 0
+                ci = 0
+                while got < TOP_K and ci < len(order):
+                    m = members[order[ci]]
+                    if len(m):
+                        d2 = np.sum((values[m] - qv[None, :]) ** 2, axis=1)
+                        take = np.argsort(d2)[:TOP_K]
+                        got += len(take)
+                    ci += 1
+            return time.perf_counter() - t0
 
-    # best of two passes: the first warms page/dcache on the 1-core
-    # host, whose cold-state variance otherwise swings the ratio 4-5x
-    cpu_qps = n_cpu / min(proxy_pass(), proxy_pass())
-    log(f"cpu reference proxy: {cpu_qps:.0f} qps")
+        # best of two passes: the first warms page/dcache on the 1-core
+        # host, whose cold-state variance otherwise swings the ratio 4-5x
+        return n_cpu / min(proxy_pass(), proxy_pass())
 
-    ratio = qps / max(cpu_qps, 1e-9)
+    cpu_qps = run_row("cpu-proxy", row_proxy)
+    log(f"cpu reference proxy: {cpu_qps or 0:.0f} qps")
+
+    ratio = qps / cpu_qps if cpu_qps else 0.0
     print(
         json.dumps(
             {
                 "metric": f"batched QPS @ recall@10>={TARGET_RECALL} "
                 f"(engine={engine}, n={n}, d={DIM}, k={K_CLUSTERS}, "
                 f"nprobe={nprobe}, recall={rec:.4f}, "
+                f"canary={canary_s:.3f}s, degraded={degraded}, "
                 f"ivf_build_warm_s={build_warm_s:.2f}, "
                 f"ivf_build_cold_s={build_s:.2f}, "
                 f"cpu_build_proxy_s={cpu_build_proxy_s:.1f}"

@@ -68,6 +68,24 @@ def timed_device(
     return best, result
 
 
+def tunnel_canary(calls: int = 3) -> float:
+    """Average per-call latency of a trivial cached jitted call — the
+    health probe for remote-tunneled device platforms (CLAUDE.md's
+    canary recipe). A healthy tunnel returns < ~0.2s/call; long
+    stretches of multi-second trivial calls mean the service is
+    degraded and any timing taken in that window measures the tunnel,
+    not the code. Pays one tiny compile on first use."""
+    import jax.numpy as jnp
+
+    a = jnp.ones((64, 64))
+    f = jax.jit(lambda x: (x * 5).sum())
+    float(f(a))  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(max(calls, 1)):
+        float(f(a))
+    return (time.perf_counter() - t0) / max(calls, 1)
+
+
 def enable_compilation_cache(path: str = "/tmp/vers_tpu_jax_cache") -> None:
     """Persistent jit-compilation cache. On this hardware the index
     builds EXECUTE in ~0.1s but their first compile takes minutes via
