@@ -52,8 +52,6 @@ from vers_tpu.io.bincode import Reader, Writer
 from vers_tpu.models.candidates import SearchResult
 from vers_tpu.ops import rpforest
 from vers_tpu.ops.binned import (
-    _pallas_fused_core,
-    forest_tile_plan,
     fused_binned_search,
     make_layout,
 )
@@ -76,39 +74,6 @@ def _deficit_gate(probes, sizes, num_bins: int, n_probes: int,
     before = jnp.cumsum(c, axis=2) - c  # exclusive
     active = (before < deficit_k).reshape(q_n, -1)
     return jnp.where(active, probes, num_bins)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "n_probes", "num_bins", "top_k", "q_blk", "r_blk", "chunk",
-        "w_rank", "q_pad_rank", "rank_rows", "g_base", "interpret",
-        "deficit_k",
-    ),
-)
-def _forest_search_pallas(
-    queries, coeffs, consts, splits, buckets, offsets, sizes,
-    corpus_padded, rbin_padded, xx_padded, s2o_padded, g_first,
-    n_probes: int, num_bins: int, top_k: int, q_blk: int, r_blk: int,
-    chunk: int, w_rank: int, q_pad_rank: int, rank_rows: tuple,
-    g_base: tuple, interpret: bool, deficit_k: int = 0,
-):
-    """ONE dispatch forest query on the Pallas packed-scan kernel:
-    multiprobe descent + kernel scan + merge in a single program."""
-    probes = rpforest.descend_forest(
-        queries, coeffs, consts, splits, buckets, offsets,
-        n_probes=n_probes,
-    )
-    if deficit_k:
-        probes = _deficit_gate(probes, sizes, num_bins, n_probes, deficit_k)
-    return _pallas_fused_core(
-        queries, probes, corpus_padded, rbin_padded, xx_padded,
-        s2o_padded, g_first, num_bins=num_bins, nprobe=probes.shape[1],
-        top_k=top_k, q_blk=q_blk, r_blk=r_blk, chunk=chunk,
-        w_rank=w_rank, q_pad_rank=q_pad_rank, metric="sq_euclidean",
-        probes_given=True, interpret=interpret, rank_rows=rank_rows,
-        g_base=g_base,
-    )
 
 
 @functools.partial(
@@ -179,14 +144,37 @@ class ANNIndex(Index):
         self._ids = np.asarray(ids, dtype=np.int64)
         self.dim = self._values.shape[1]
         self._dirty_trees: set = set()
-        self._combined = None  # stacked-forest device state
+        self._combined = None  # stacked-forest device state (sharded layers)
+        self._shared = None    # shared-corpus device state (single chip)
+
+    def _stacked_descent_tables(self):
+        """Stacked per-tree level tables (T, L, ...) numpy, padded to
+        common shapes — the `ops/rpforest.descend_forest` input."""
+        L = max(t.coeff.shape[0] for t in self._trees)
+        TC = max(t.coeff.shape[1] for t in self._trees)
+        SC = max(t.split.shape[1] for t in self._trees)
+        T = len(self._trees)
+        coeffs = np.zeros((T, L, TC, self.dim), np.float32)
+        consts = np.zeros((T, L, TC), np.float32)
+        splits = np.full((T, L, SC), -1, np.int32)
+        buckets = np.full((T, L, SC), -1, np.int32)
+        for i, t in enumerate(self._trees):
+            l, tc, _ = t.coeff.shape
+            sc = t.split.shape[1]
+            coeffs[i, :l, :tc] = t.coeff
+            consts[i, :l, :tc] = t.const
+            splits[i, :l, :sc] = t.split
+            buckets[i, :l, :sc] = t.bucket
+        return coeffs, consts, splits, buckets
 
     def _combined_host_arrays(self) -> dict:
-        """Host-side (numpy) assembly of the stacked-forest state: all
+        """Host-side (numpy) assembly of the STACKED-forest state: all
         trees' leaf partitions stacked into ONE bin-major layout (bins =
-        (tree, leaf) pairs) plus stacked level tables. Shared by the
-        single-chip device state below and the corpus-partitioned
-        sharding layer (`parallel/lsh_partitioned`)."""
+        (tree, leaf) pairs) plus stacked level tables — T corpus copies.
+        Used by the sharded/partitioned layers (`parallel/lsh`,
+        `parallel/lsh_partitioned`), where each shard's slice is small.
+        The single-chip search path uses `_ensure_shared` instead (ONE
+        corpus copy — reference memory parity, `lsh.rs:44,53`)."""
         layouts = [make_layout(self._values, t.leaf_of_vec, max(t.num_buckets, 1))
                    for t in self._trees]
         corpus = np.concatenate([np.asarray(l["corpus_sorted"]) for l in layouts])
@@ -204,22 +192,7 @@ class ANNIndex(Index):
             offsets.append(bin_off)
             bin_off += max(t.num_buckets, 1)
             row_off += np.asarray(l["corpus_sorted"]).shape[0]
-        # stacked level tables (pad to common shapes)
-        L = max(t.coeff.shape[0] for t in self._trees)
-        TC = max(t.coeff.shape[1] for t in self._trees)
-        SC = max(t.split.shape[1] for t in self._trees)
-        T = len(self._trees)
-        coeffs = np.zeros((T, L, TC, self.dim), np.float32)
-        consts = np.zeros((T, L, TC), np.float32)
-        splits = np.full((T, L, SC), -1, np.int32)
-        buckets = np.full((T, L, SC), -1, np.int32)
-        for i, t in enumerate(self._trees):
-            l, tc, _ = t.coeff.shape
-            sc = t.split.shape[1]
-            coeffs[i, :l, :tc] = t.coeff
-            consts[i, :l, :tc] = t.const
-            splits[i, :l, :sc] = t.split
-            buckets[i, :l, :sc] = t.bucket
+        coeffs, consts, splits, buckets = self._stacked_descent_tables()
         return dict(
             corpus=corpus,
             s2o=s2o,
@@ -261,6 +234,64 @@ class ANNIndex(Index):
             bin_bounds=g["bin_bounds"],
         )
         return self._combined
+
+    def _max_bin(self) -> int:
+        return max(
+            (len(m) for t in self._trees for m in t.members), default=1
+        )
+
+    def _ensure_shared(self, r_blk: int) -> dict:
+        """Shared-corpus device state (`ops/forest_shared`): ONE corpus
+        copy + per-tree INDEX tables — the reference's memory shape
+        (`lsh.rs:44,53`: corpus once, trees hold ids), which is what
+        makes a single-chip 1M x 300 8-tree forest possible at all
+        (the stacked layout needs ~2 corpus copies PER TREE). Single
+        slot cached per r_blk; the corpus upload survives table
+        rebuilds."""
+        if self._shared is not None and self._shared["r_blk"] == r_blk:
+            return self._shared
+        from vers_tpu.ops.forest_shared import shared_tree_tables
+
+        corpus_pad = xx = None
+        if self._shared is not None:
+            corpus_pad = self._shared["corpus_pad"]
+            xx = self._shared["xx"]
+        t = shared_tree_tables(
+            [tr.leaf_of_vec for tr in self._trees],
+            [tr.num_buckets for tr in self._trees],
+            r_blk,
+        )
+        if corpus_pad is None:
+            n, d = self._values.shape
+            n_pad = round_up(max(n, 1), 128)
+            d_pad = round_up(d, 128)
+            corpus_pad = to_device(
+                np.pad(self._values, ((0, n_pad - n), (0, d_pad - d)))
+            )
+            xx = jnp.sum(corpus_pad.astype(jnp.float32) ** 2, axis=1)
+        coeffs, consts, splits, buckets = self._stacked_descent_tables()
+        self._shared = dict(
+            r_blk=r_blk,
+            corpus_pad=corpus_pad,
+            xx=xx,
+            coeffs=jnp.asarray(coeffs),
+            consts=jnp.asarray(consts),
+            splits=jnp.asarray(splits),
+            buckets=jnp.asarray(buckets),
+            offsets=jnp.asarray(t["offsets"]),
+            sizes_dev=jnp.asarray(t["sizes"].astype(np.int32)),
+            src=jnp.asarray(t["src"]),
+            rbin=jnp.asarray(t["rbin"]),
+            g_first=jnp.asarray(t["g_first"]),
+            g_rstart=jnp.asarray(t["g_rstart"]),
+            order=jnp.asarray(t["order"]),
+            rbin_sorted=jnp.asarray(t["rbin_sorted"]),
+            g_max=t["g_max"],
+            g_total=t["g_total"],
+            num_bins=t["num_bins"],
+            max_bin=t["max_bin"],
+        )
+        return self._shared
 
     # -- build ---------------------------------------------------------
 
@@ -327,6 +358,7 @@ class ANNIndex(Index):
                     # rebuild restores the invariant
                     self._dirty_trees.add(t)
         self._combined = None
+        self._shared = None  # values grew: corpus re-uploads too
 
     def _descend_host_pos(self, tree: _Tree, q: np.ndarray):
         """Main-path descent returning (bucket, level, position,
@@ -454,6 +486,10 @@ class ANNIndex(Index):
             )
         self._dirty_trees.clear()
         self._combined = None
+        if self._shared is not None:
+            # trees changed, values did not: rebuild the index tables
+            # on next search but keep the uploaded corpus
+            self._shared["r_blk"] = -1
 
     def _descend_host(self, tree: _Tree, q: np.ndarray) -> int:
         v = 0
@@ -550,10 +586,14 @@ class ANNIndex(Index):
     def _search_batch_internal(
         self, queries, top_k: int, probes_per_tree: Optional[int] = None
     ):
+        """Single-chip batched search on the SHARED-corpus device state
+        (`ops/forest_shared`): multiprobe descent + per-tree packed scan
+        (lax.scan — one tree's gathered view live at a time) + dedup
+        merge, ONE device dispatch. Memory parity with the reference
+        (`lsh.rs:44,53`): the corpus lives on device exactly once."""
         self._rebuild_dirty()
         qdev = as_query_matrix(queries)
-        comb = self._ensure_combined()
-        layout = comb["layout"]
+        q_n = qdev.shape[0]
         if probes_per_tree is None:
             n_probes = self._auto_probes(top_k)
             deficit_k = top_k if n_probes > 1 else 0
@@ -567,49 +607,53 @@ class ANNIndex(Index):
                 if jax.default_backend() == "tpu" and top_k <= MAX_PALLAS_K
                 else "xla"
             )
+        max_bin = self._max_bin()
+        n = self._values.shape[0]
+        n_pad = round_up(max(n, 1), 128)
         if engine == "pallas":
-            from vers_tpu.core import round_up
-            from vers_tpu.ops.pallas_binned import padded_forest_layout
+            from vers_tpu.ops.forest_shared import (
+                forest_search_shared_pallas,
+            )
 
             chunk = 1024
-            r_blk = round_up(max(2048, layout["max_bin"], top_k), chunk)
-            padded = padded_forest_layout(
-                layout, r_blk, comb["bin_bounds"]
-            )
-            q_n = qdev.shape[0]
+            r_blk = round_up(max(1024, max_bin, top_k), chunk)
+            sh = self._ensure_shared(r_blk)
             q_blk = 128 if jax.default_backend() == "tpu" else 64
             q_pad_rank = round_up(q_n, q_blk)
-            w_rank = q_pad_rank // q_blk + padded["g_max"] + 1
-            n_trees = len(comb["bin_bounds"]) - 1
-            rank_rows = tuple(
-                t for t in range(n_trees) for _ in range(n_probes)
-            )
-            dists, internal = _forest_search_pallas(
-                qdev, comb["coeffs"], comb["consts"], comb["splits"],
-                comb["buckets"], comb["offsets"], layout["sizes_dev"],
-                padded["corpus"], padded["rbin"], padded["xx"],
-                padded["s2o"], padded["g_first"],
-                n_probes=n_probes, num_bins=layout["num_bins"],
-                top_k=top_k, q_blk=q_blk, r_blk=r_blk, chunk=chunk,
-                w_rank=w_rank, q_pad_rank=q_pad_rank,
-                rank_rows=rank_rows, g_base=padded["g_base"],
+            w_rank = q_pad_rank // q_blk + sh["g_max"] + 1
+            dists, internal = forest_search_shared_pallas(
+                qdev, sh["coeffs"], sh["consts"], sh["splits"],
+                sh["buckets"], sh["offsets"], sh["sizes_dev"],
+                sh["corpus_pad"], sh["xx"], sh["src"], sh["rbin"],
+                sh["g_first"],
+                n_probes=n_probes, num_bins=sh["num_bins"], top_k=top_k,
+                q_blk=q_blk, r_blk=r_blk, chunk=chunk, w_rank=w_rank,
+                q_pad_rank=q_pad_rank,
                 interpret=jax.default_backend() != "tpu",
                 deficit_k=deficit_k,
             )
         else:
-            plan = forest_tile_plan(
-                layout, qdev.shape[0], top_k, comb["bin_bounds"], n_probes
+            from vers_tpu.ops.forest_shared import forest_search_shared_xla
+
+            # per-tree tile targets (the stacked path's forest plan,
+            # re-derived for one tree spanning all n rows)
+            r_target = max(max_bin, top_k, min(8192, max(1024, n // 16)))
+            r_blk = min(round_up(r_target, 128), n_pad)
+            sh = self._ensure_shared(r_blk)
+            q_blk = min(
+                round_up(max(64, q_n // max(sh["g_total"], 1) * 2), 64),
+                round_up(q_n, 8),
             )
-            dists, internal = _forest_search(
-                qdev, comb["coeffs"], comb["consts"], comb["splits"],
-                comb["buckets"], comb["offsets"], layout["sizes_dev"],
-                layout["corpus_sorted"], layout["rbin"],
-                layout["sorted_to_orig"], plan["g_first"], plan["g_rstart"],
-                n_probes=n_probes, num_bins=layout["num_bins"],
-                top_k=top_k, q_blk=plan["q_blk"], r_blk=plan["r_blk"],
-                w_rank=plan["w_rank"],
+            w_rank = (q_n + q_blk - 1) // q_blk + sh["g_max"]
+            dists, internal = forest_search_shared_xla(
+                qdev, sh["coeffs"], sh["consts"], sh["splits"],
+                sh["buckets"], sh["offsets"], sh["sizes_dev"],
+                sh["corpus_pad"], sh["order"], sh["rbin_sorted"],
+                sh["g_first"], sh["g_rstart"],
+                n_probes=n_probes, num_bins=sh["num_bins"], top_k=top_k,
+                q_blk=q_blk, r_blk=r_blk, w_rank=w_rank,
                 use_approx=jax.default_backend() == "tpu",
-                rank_rows=plan["rank_rows"], deficit_k=deficit_k,
+                deficit_k=deficit_k,
             )
         return dists, internal
 
