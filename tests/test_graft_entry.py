@@ -8,6 +8,11 @@ conftest help and the ambient environment — is the regression test.
 
 import subprocess
 import sys
+import pytest
+
+# heavy tier (wave builds / shard_map surfaces / subprocess dryruns):
+# skipped by `make test`, run by `make test-all` (VERDICT r3 #7)
+pytestmark = pytest.mark.slow
 
 
 def test_entry_jits():

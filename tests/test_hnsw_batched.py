@@ -8,6 +8,10 @@ from vers_tpu.index.hnsw import HNSWIndex
 from vers_tpu.ops.hnsw_build import draw_insertion_layers
 from vers_tpu.utils.harness import recall_at_k
 
+# heavy tier (wave builds / shard_map surfaces / subprocess dryruns):
+# skipped by `make test`, run by `make test-all` (VERDICT r3 #7)
+pytestmark = pytest.mark.slow
+
 
 def _normed(rng, n, d):
     x = rng.normal(size=(n, d)).astype(np.float32)
