@@ -190,3 +190,64 @@ def test_inline_device_add_consistency():
     truth2 = exhaustive_batch(allx, q, 10)
     rec1 = recall_at_k(h.search_batch(q, 10).ids, truth2)
     assert rec1 >= rec0 - 0.03, (rec1, rec0)
+
+
+def test_auto_policy_and_expand_resolution():
+    """nav_inline_dp="auto" policy (VERDICT r3 #3): off below the
+    row-gather-bound scale, budget-fitted dp above it; beam_expand=None
+    resolves 8 classic / 4 inline; the inline-table HBM guard refuses
+    oversized allocations with a clear message."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import pytest
+
+    from vers_tpu.config import HNSWConfig
+    from vers_tpu.index.hnsw import auto_inline_dp, resolve_beam_expand
+    from vers_tpu.ops.beam_inline import build_inline_table
+
+    cfg = HNSWConfig()
+    assert cfg.nav_inline_dp == "auto"
+    # small corpora: classic gathers (qps-neutral, saves the HBM)
+    assert auto_inline_dp(cfg, 100_000, 100_096, 32) is None
+    # 1M x deg32: the dp=64 table (3.8GiB) fits the default 4GiB
+    # budget — the r3 1M headline configuration, now the default
+    assert auto_inline_dp(cfg, 1_000_000, 1_000_064, 32) == 64
+    # deg 48 (the reference's M=24 main.rs params): dp=64 is 5.7GiB,
+    # the policy steps down to dp=32 (2.9GiB)
+    assert auto_inline_dp(cfg, 1_000_000, 1_000_064, 48) == 32
+    # a tight budget steps down, then off
+    cfg3 = dataclasses.replace(cfg, inline_hbm_budget_gb=2.0)
+    assert auto_inline_dp(cfg3, 1_000_000, 1_000_064, 32) == 32
+    cfg1 = dataclasses.replace(cfg, inline_hbm_budget_gb=0.5)
+    assert auto_inline_dp(cfg1, 1_000_000, 1_000_064, 32) is None
+    # beam-routed configs never feed the inline beam
+    cfgb = dataclasses.replace(cfg, route_mode="beam")
+    assert auto_inline_dp(cfgb, 1_000_000, 1_000_064, 32) is None
+
+    assert resolve_beam_expand(cfg, inline_on=False) == 8
+    assert resolve_beam_expand(cfg, inline_on=True) == 4
+    forced = dataclasses.replace(cfg, beam_expand=6)
+    assert resolve_beam_expand(forced, inline_on=True) == 6
+
+    with pytest.raises(ValueError, match="inline table would be"):
+        build_inline_table(
+            jnp.zeros((256, 8), jnp.bfloat16),
+            jnp.zeros((256, 4), jnp.int32),
+            dp=8, max_bytes=1024,
+        )
+
+
+def test_auto_policy_off_at_small_n_in_cache():
+    """A default-config small index resolves to the classic beam (no
+    inline table in the device cache) — the policy, end to end."""
+    from vers_tpu.index.hnsw import HNSWIndex
+    from vers_tpu.utils.data import synthetic_gaussian
+
+    x, q = synthetic_gaussian(
+        1500, 64, n_clusters=32, n_queries=32, seed=3, normalized=True,
+        query_noise=0.5,
+    )
+    h = HNSWIndex.build_index_batched(4, 48, 32, 8, x, seed=0)
+    h.search_batch(q, 10)
+    assert h._device_cache["inline"] is None

@@ -104,8 +104,19 @@ class HNSWConfig:
     # row-op-bound (~15.5 ns/row; benchmarks/tpu_gather_micro.py), so
     # this removes the measured 1M-scale bottleneck at the cost of
     # (n, deg*dp) bf16 of HBM and PCA-approximate navigation (the final
-    # beam is always exact-f32 rescored). None -> classic row gathers.
-    nav_inline_dp: Optional[int] = None
+    # beam is always exact-f32 rescored).
+    # "auto" (default): size-aware policy at device-cache build — on
+    # when the corpus is large enough that the row-gather bound
+    # dominates (>= ~200k rows; measured qps-neutral at 131k, 2.8x at
+    # 1M) with dp picked to fit ``inline_hbm_budget_gb`` (64, then 32,
+    # else classic gathers). The reference's users pass four ints and
+    # get its best behavior (`main.rs:70-79`); so should ours.
+    # None/0 -> classic row gathers; an int forces that dp.
+    nav_inline_dp: Optional[object] = "auto"
+    # HBM budget for the (n_pad, deg*dp) bf16 inline table when
+    # nav_inline_dp="auto" picks dp (the table is ~4.1GB at
+    # 1M x deg32 x dp64 next to a 1.2GB corpus on a 16GB chip).
+    inline_hbm_budget_gb: float = 4.0
     # Exact-refine width for the inline beam. Projection-only beam
     # RETENTION collapses when true neighbours differ at
     # projection-noise scale (measured 0.50 recall at 1M x 300,
@@ -124,12 +135,17 @@ class HNSWConfig:
     ef_route: Optional[int] = 8
     # Query-beam expansion fan-out: how many best unexpanded beam
     # entries expand per lockstep iteration (construction beams use the
-    # same default; see ops/hnsw_build.py). Measured at 131k x 300
+    # same value; see ops/hnsw_build.py). Measured at 131k x 300
     # ef=32: expand=8 is 2.3x the qps of expand=4 at equal recall
     # (13.8k vs 6.0k @ 0.996) — the per-step gather cost is linear in
     # expand while step count shrinks ~expand-fold, so the fixed
-    # per-iteration costs (merge top-k, dup mask) amortize.
-    beam_expand: int = 8
+    # per-iteration costs (merge top-k, dup mask) amortize. With the
+    # INLINE beam the per-step gather is expand WIDE rows (not
+    # expand*deg thin ones) and expand=4 measured best at 1M
+    # (40.0k vs cap-6's 46.4k @ -0.006 recall; CLAUDE.md r3).
+    # None (default) -> 8 on the classic gather beam and construction
+    # beams, 4 on the inline beam; an int forces that value everywhere.
+    beam_expand: Optional[int] = None
     # Cap on the query beam's lockstep iterations. None -> the legacy
     # bound max(4*ef, 64); a tight cap trades straggler-query recall
     # for wall-clock (A/B in benchmarks/tpu_query_beam_ab.py).

@@ -37,6 +37,36 @@ from vers_tpu.models.candidates import AdjacencyItem, DistanceCandidatePair, Sea
 from vers_tpu.ops.beam import full_descent, full_descent_scan
 
 
+def resolve_beam_expand(config, inline_on: bool = False) -> int:
+    """``beam_expand=None`` -> context default: 8 on the classic gather
+    beam and construction beams, 4 on the inline beam (both measured —
+    see config.py). An explicit int wins everywhere."""
+    be = getattr(config, "beam_expand", None)
+    if be:
+        return max(1, int(be))
+    return 4 if inline_on else 8
+
+
+def auto_inline_dp(config, n_rows: int, n_pad: int, deg: int):
+    """Size-aware resolution of ``nav_inline_dp="auto"`` (VERDICT r3
+    #3): the inline table pays off where the layer-0 row-gather bound
+    dominates (>= ~200k rows; qps-neutral at 131k, 2.8x at 1M —
+    CLAUDE.md), costs (n_pad, deg*dp) bf16 of HBM, and only the scan
+    router feeds the inline beam. dp = the largest of (64, 32) whose
+    table fits ``inline_hbm_budget_gb``; None = classic gathers."""
+    if n_rows < 200_000:
+        return None
+    if getattr(config, "route_mode", "scan") != "scan":
+        return None
+    budget = int(
+        float(getattr(config, "inline_hbm_budget_gb", 4.0)) * (1 << 30)
+    )
+    for dp in (64, 32):
+        if n_pad * deg * dp * 2 <= budget:
+            return dp
+    return None
+
+
 class _Layer:
     __slots__ = ("adjacency",)
 
@@ -734,7 +764,7 @@ class HNSWIndex(Index):
             jnp.full((1,), cache["entry"], jnp.int32),
             efc=self.ef_construction,
             l_ins=l_ins,
-            expand=max(1, getattr(self.config, "beam_expand", 4)),
+            expand=resolve_beam_expand(self.config),
             steps_cap=getattr(self.config, "beam_steps", None),
             has_scales=scales is not None,
         )
@@ -912,8 +942,20 @@ class HNSWIndex(Index):
             if g["vecs"] is None
             else to_device(g["vecs"])
         )
+        # resolve the inline-navigation policy BEFORE the nav dtype
+        # (the inline beam needs a plain bf16 full-dim table)
+        inline_dp = getattr(self.config, "nav_inline_dp", None)
+        if inline_dp == "auto":
+            inline_dp = (
+                auto_inline_dp(
+                    self.config, g["n"], int(adjs[0].shape[0]),
+                    int(adjs[0].shape[1]),
+                )
+                if adjs
+                else None
+            )
         nav_dtype = getattr(self.config, "nav_dtype", "bfloat16")
-        if getattr(self.config, "nav_inline_dp", None) and nav_dtype == "int8":
+        if inline_dp and nav_dtype == "int8":
             # the inline beam's exact-refine step rescoring needs a
             # plain bf16 full-dim table (no dequant-scale gathers)
             nav_dtype = "bfloat16"
@@ -952,12 +994,11 @@ class HNSWIndex(Index):
             )
         else:
             l1_members = l1_tab = None
-        # Neighborhood-inlined nav table (config.nav_inline_dp): per
-        # node, its layer-0 neighbours' PCA-projected bf16 vectors
-        # concatenated — the beam then gathers Q*expand WIDE rows per
-        # step instead of Q*expand*deg thin ones (row-op-bound
-        # breaker; ops/beam_inline.py).
-        inline_dp = getattr(self.config, "nav_inline_dp", None)
+        # Neighborhood-inlined nav table (config.nav_inline_dp,
+        # "auto"-resolved above): per node, its layer-0 neighbours'
+        # PCA-projected bf16 vectors concatenated — the beam then
+        # gathers Q*expand WIDE rows per step instead of Q*expand*deg
+        # thin ones (row-op-bound breaker; ops/beam_inline.py).
         inline = None
         if inline_dp and adjs:
             from vers_tpu.ops.beam_inline import (
@@ -1005,7 +1046,9 @@ class HNSWIndex(Index):
         ef = max(self.ef_search, top_k)
         ef_route = getattr(self.config, "ef_route", None)
         ef_r = max(1, min(ef_route, ef)) if ef_route else ef
-        expand = max(1, getattr(self.config, "beam_expand", 4))
+        expand = resolve_beam_expand(
+            self.config, inline_on=cache.get("inline") is not None
+        )
         steps_cap = getattr(self.config, "beam_steps", None)
         scales = cache["nav_scales"]
         route_mode = getattr(self.config, "route_mode", "scan")

@@ -73,8 +73,11 @@ def project_rows(vecs, basis, dp: int):
     return p.astype(jnp.bfloat16)
 
 
-@functools.partial(jax.jit, static_argnames=("dp", "row_chunk"))
-def build_inline_table(proj, adj, dp: int, row_chunk: int = 65536):
+@functools.partial(
+    jax.jit, static_argnames=("dp", "row_chunk", "max_bytes")
+)
+def build_inline_table(proj, adj, dp: int, row_chunk: int = 65536,
+                       max_bytes: int = 8 << 30):
     """(n_pad, dp) projected rows + (n_pad, deg) adjacency ->
     (n_pad, deg * dp) bf16 inline table (-1 neighbours -> zero rows,
     which renormalization never produces, so they rank at distance 1
@@ -82,8 +85,23 @@ def build_inline_table(proj, adj, dp: int, row_chunk: int = 65536):
 
     Chunked over rows: the one-time n_pad * deg row gather at 1M x 48
     is ~48M row ops (~0.8 s) and would otherwise materialize a
-    (n_pad, deg, dp) f32 intermediate."""
+    (n_pad, deg, dp) f32 intermediate.
+
+    ``max_bytes`` guards the allocation: at 1M x deg48 x dp64 the table
+    is ~6GB next to the corpus, and an oversized device allocation
+    wedges this hardware's shared tunnel for every client — refuse
+    loudly instead (pick a smaller dp, or let nav_inline_dp="auto"
+    budget it)."""
     n_pad, deg = adj.shape
+    table_bytes = n_pad * deg * dp * 2
+    if table_bytes > max_bytes:
+        raise ValueError(
+            f"inline table would be {table_bytes / 2**30:.1f} GB "
+            f"({n_pad} rows x deg {deg} x dp {dp} bf16) "
+            f"> the {max_bytes / 2**30:.1f} GB guard; reduce "
+            f"nav_inline_dp (or use 'auto', which budgets it via "
+            f"inline_hbm_budget_gb)"
+        )
 
     def per_chunk(c, _):
         rows = jax.lax.dynamic_slice_in_dim(adj, c * row_chunk, row_chunk, 0)

@@ -30,7 +30,7 @@ from jax.sharding import PartitionSpec as P
 from jax import shard_map
 from jax.sharding import NamedSharding
 
-from vers_tpu.index.hnsw import HNSWIndex
+from vers_tpu.index.hnsw import HNSWIndex, resolve_beam_expand
 from vers_tpu.models.candidates import SearchResult
 from vers_tpu.ops.beam import full_descent
 from vers_tpu.parallel.mesh import SHARD_AXIS, make_mesh
@@ -159,7 +159,7 @@ class ShardedHNSWIndex:
             rescore=cache["vecs_nav"].dtype != cache["vecs"].dtype,
             n_layers=len(base.layers),
             has_scales=scales is not None,
-            expand=max(1, getattr(base.config, "beam_expand", 4)),
+            expand=resolve_beam_expand(base.config),
             steps_cap=getattr(base.config, "beam_steps", None),
         )
         return np.asarray(bd)[:q_n], np.asarray(bi)[:q_n]

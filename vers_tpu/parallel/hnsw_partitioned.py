@@ -42,7 +42,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from vers_tpu.core import device_id_map, round_up
-from vers_tpu.index.hnsw import HNSWIndex
+from vers_tpu.index.hnsw import HNSWIndex, resolve_beam_expand
 from vers_tpu.ops.beam import full_descent_scan
 from vers_tpu.ops.topk import topk_smallest
 from vers_tpu.parallel.mesh import SHARD_AXIS, make_mesh
@@ -336,7 +336,7 @@ class PartitionedHNSWIndex(PartitionedIndexBase):
             cache["l1_tab"], cache["l1_members"], cache["n1s"],
             self.mesh,
             top_k=top_k, ef=ef, seeds=seeds,
-            expand=max(1, getattr(cfg, "beam_expand", 4)),
+            expand=resolve_beam_expand(cfg),
             steps_cap=getattr(cfg, "beam_steps", None),
             per=cache["per"],
         )
