@@ -310,14 +310,19 @@ class IVFFlatIndex(Index):
                 if jax.default_backend() == "tpu" and top_k <= MAX_PALLAS_K
                 else "xla"
             )
+        # dedup=False: every row lives in exactly ONE cluster and each
+        # query's probe list is distinct clusters, so probe ranks cover
+        # disjoint ids — the cross-probe duplicate mask is pure waste
+        # (it was ~40% of the nprobe=4 batch; sentinel-gated adaptive
+        # ranks only contribute (inf, -1) entries, dropped regardless)
         if engine == "pallas":
             return binned_topk_pallas(
                 qdev, self._centroids_dev, nprobe, layout, top_k=top_k,
-                probes=probes,
+                probes=probes, dedup=False,
             )
         return binned_topk_fused(
             qdev, self._centroids_dev, nprobe, layout, top_k=top_k,
-            precision=self.config.precision, probes=probes,
+            precision=self.config.precision, probes=probes, dedup=False,
         )
 
     def search_batch(

@@ -274,7 +274,9 @@ class ANNIndex(Index):
             r_blk=r_blk,
             corpus_pad=corpus_pad,
             xx=xx,
-            coeffs=jnp.asarray(coeffs),
+            # the stacked hyperplane tables are ~2.2GB at 1M x 300 x 8
+            # trees (dense (T, L, TC, d)); slice the upload
+            coeffs=to_device(coeffs),
             consts=jnp.asarray(consts),
             splits=jnp.asarray(splits),
             buckets=jnp.asarray(buckets),
@@ -620,7 +622,12 @@ class ANNIndex(Index):
             sh = self._ensure_shared(r_blk)
             q_blk = 128 if jax.default_backend() == "tpu" else 64
             q_pad_rank = round_up(q_n, q_blk)
-            w_rank = q_pad_rank // q_blk + sh["g_max"] + 1
+            # p>1 uses the combined (query, rank) pair sort per tree
+            # (ops/binned._pallas_fused_core): blocks scale with p
+            blocks = (
+                n_probes * q_pad_rank if n_probes > 1 else q_pad_rank
+            ) // q_blk
+            w_rank = blocks + sh["g_max"] + 1
             dists, internal = forest_search_shared_pallas(
                 qdev, sh["coeffs"], sh["consts"], sh["splits"],
                 sh["buckets"], sh["offsets"], sh["sizes_dev"],

@@ -301,43 +301,81 @@ def pack_groups(
     return np.asarray(gq, np.int32), np.asarray(gr, np.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("top_k",))
-def merge_probe_results(all_d, all_i, top_k: int):
+def _rank_select_topk(all_d, all_i, top_k: int):
+    """Sort-free top-k over a small width w: each column's merged rank
+    is its count of strictly-smaller (or equal-and-earlier) columns —
+    O(w^2) VPU compares + two scatters, replacing the three row-wise
+    XLA sorts of `topk_smallest` (row sorts at these widths are the
+    measured slow path on TPU; the cross-probe merge was ~40% of the
+    nprobe=4 batch). Output is ascending with (inf, -1) padding —
+    identical to the sort path up to tie order (ties break by column
+    index, which is probe-rank order: deterministic)."""
+    q_n, w = all_d.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+    # rank[j] = #{j': d[j'] < d[j] or (d[j'] == d[j] and j' < j)}
+    a = all_d[:, :, None]   # d[j]  (Q, w, 1)
+    b = all_d[:, None, :]   # d[j'] (Q, 1, w)
+    beats = (b < a) | ((b == a) & (col < row)[None])
+    rank = jnp.sum(beats, axis=2).astype(jnp.int32)
+    rank = jnp.where(jnp.isfinite(all_d), rank, w)  # park inf: dropped
+    # place by one-hot reduction, NOT scatter (TPU 2D scatters are
+    # measured ~9.5ms at (16k, 40) — slower than the sort they replace;
+    # the (Q, w, k) select+reduce fuses on the VPU)
+    sel = rank[:, :, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (1, 1, top_k), 2
+    )
+    fin_d = jnp.sum(jnp.where(sel, all_d[:, :, None], 0.0), axis=1)
+    fin_d = jnp.where(jnp.any(sel, axis=1), fin_d, jnp.inf)
+    fin_i = jnp.sum(jnp.where(sel, all_i[:, :, None], 0), axis=1)
+    return fin_d, jnp.where(jnp.isfinite(fin_d), fin_i, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("top_k", "dedup"))
+def merge_probe_results(all_d, all_i, top_k: int, dedup: bool = True):
     """Merge (Q, P*top_k) candidates from P probes: drop duplicate ids
     (a row can surface from several probes/trees), then final top-k.
-    Returns (dists (Q, top_k), ids (Q, top_k))."""
+    Returns (dists (Q, top_k), ids (Q, top_k)).
+
+    ``dedup=False`` skips the duplicate mask — correct whenever the
+    probe ranks cover DISJOINT id sets (IVF: each row lives in exactly
+    one cluster and the probe list per query is distinct clusters;
+    sentinel-gated ranks only contribute (inf, -1) entries, which the
+    select drops anyway). RP-forests need dedup=True (trees overlap,
+    and gated descent ranks repeat the previous rank's bin)."""
     q_n, w = all_d.shape
+    if dedup:
+        if w <= 64:
+            # small candidate widths (nprobe/tree count * top_k): mark
+            # j a duplicate if an earlier column holds the same id —
+            # O(w^2) compares on the VPU instead of three row-wise XLA
+            # sorts (same trick as the beam's visited-set dedup).
+            # NOTE: the (Q, w, w) bool intermediate is also a MEMORY
+            # bound — at Q=16k, w=64 it is ~67M elements per merge;
+            # re-measure HBM pressure before widening this cutoff.
+            col = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
+            row = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+            dup = jnp.any(
+                (all_i[:, :, None] == all_i[:, None, :])
+                & (col < row)[None]
+                & (all_i[:, :, None] >= 0),
+                axis=2,
+            )
+        else:
+            pos_sorted = jnp.sort(all_i, axis=1)
+            dup_sorted = jnp.concatenate(
+                [jnp.zeros((q_n, 1), bool),
+                 (pos_sorted[:, 1:] == pos_sorted[:, :-1])
+                 & (pos_sorted[:, 1:] >= 0)],
+                axis=1,
+            )
+            rank = jnp.argsort(
+                jnp.argsort(all_i, axis=1, stable=True), axis=1, stable=True
+            )
+            dup = jnp.take_along_axis(dup_sorted, rank, axis=1)
+        all_d = jnp.where(dup, jnp.inf, all_d)
     if w <= 64:
-        # small candidate widths (nprobe/tree count * top_k): mark j a
-        # duplicate if an earlier column holds the same id — O(w^2)
-        # compares on the VPU instead of three row-wise XLA sorts
-        # (row sorts at these widths are the slow path on TPU; same
-        # trick as the beam's visited-set dedup, ops/beam.py).
-        # NOTE: the (Q, w, w) bool intermediate is also a MEMORY bound,
-        # not just a speed crossover — at Q=16k, w=64 it is ~67M
-        # elements per merge; re-measure HBM pressure before widening
-        # this cutoff.
-        col = jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
-        row = jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
-        dup = jnp.any(
-            (all_i[:, :, None] == all_i[:, None, :])
-            & (col < row)[None]
-            & (all_i[:, :, None] >= 0),
-            axis=2,
-        )
-    else:
-        pos_sorted = jnp.sort(all_i, axis=1)
-        dup_sorted = jnp.concatenate(
-            [jnp.zeros((q_n, 1), bool),
-             (pos_sorted[:, 1:] == pos_sorted[:, :-1])
-             & (pos_sorted[:, 1:] >= 0)],
-            axis=1,
-        )
-        rank = jnp.argsort(
-            jnp.argsort(all_i, axis=1, stable=True), axis=1, stable=True
-        )
-        dup = jnp.take_along_axis(dup_sorted, rank, axis=1)
-    all_d = jnp.where(dup, jnp.inf, all_d)
+        return _rank_select_topk(all_d, all_i, top_k)
     fin_d, sel = topk_smallest(all_d, top_k)
     fin_i = jnp.take_along_axis(all_i, sel, axis=1)
     fin_i = jnp.where(jnp.isfinite(fin_d), fin_i, -1)
@@ -384,8 +422,9 @@ def sort_counts_given_probes(queries, probes, num_bins: int):
     return _sort_counts(queries, probes, num_bins)
 
 
-@functools.partial(jax.jit, static_argnames=("top_k", "q_n"))
-def unsort_map_merge(res_d, res_i, orders, sorted_to_orig, top_k: int, q_n: int):
+@functools.partial(jax.jit, static_argnames=("top_k", "q_n", "dedup"))
+def unsort_map_merge(res_d, res_i, orders, sorted_to_orig, top_k: int,
+                     q_n: int, dedup: bool = True):
     """(P*Q rows of packed-scan output) -> per-probe unsort, map to
     original rows, dedup, final top-k. Single device program."""
     p = orders.shape[0]
@@ -412,19 +451,21 @@ def unsort_map_merge(res_d, res_i, orders, sorted_to_orig, top_k: int, q_n: int)
         # dedup + final top-k would be an identity (see the same skip
         # in _pallas_fused_core)
         return all_d, all_i
-    return merge_probe_results(all_d, all_i, top_k)
+    return merge_probe_results(all_d, all_i, top_k, dedup=dedup)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "top_k", "q_blk", "r_blk", "metric", "use_approx", "q_n", "precision"
+        "top_k", "q_blk", "r_blk", "metric", "use_approx", "q_n",
+        "precision", "dedup",
     ),
 )
 def scan_packed_merge(
     q_stack, qbin_stack, gq, gr, corpus_sorted, rbin, orders,
     sorted_to_orig, top_k: int, q_blk: int, r_blk: int, metric: str,
     use_approx: bool, q_n: int, precision: str = "highest",
+    dedup: bool = True,
 ):
     """Second (and last) dispatch of a shared-layout search: packed scan
     over all probes' groups + per-probe unsort + id map + final merge."""
@@ -433,7 +474,9 @@ def scan_packed_merge(
         top_k=top_k, q_blk=q_blk, r_blk=r_blk, metric=metric,
         use_approx=use_approx, precision=precision,
     )
-    return unsort_map_merge(res_d, res_i, orders, sorted_to_orig, top_k, q_n)
+    return unsort_map_merge(
+        res_d, res_i, orders, sorted_to_orig, top_k, q_n, dedup=dedup
+    )
 
 
 def binned_topk_shared(
@@ -445,6 +488,7 @@ def binned_topk_shared(
     metric: str = "sq_euclidean",
     precision: str = "highest",
     probes=None,
+    dedup: bool = True,
 ):
     """Binned search when all probe ranks share ONE layout (IVFFlat
     clusters, or an RP-forest's stacked per-tree leaf partitions).
@@ -513,6 +557,7 @@ def binned_topk_shared(
         use_approx=use_approx,
         q_n=q_n,
         precision=precision,
+        dedup=dedup,
     )
 
 
@@ -631,6 +676,7 @@ def _fused_workitems(qcounts, qcum_rank_offset, group_first_bin, group_rstart,
     static_argnames=(
         "num_bins", "nprobe", "top_k", "q_blk", "r_blk", "w_rank",
         "metric", "use_approx", "precision", "probes_given", "rank_rows",
+        "dedup",
     ),
 )
 def fused_binned_search(
@@ -652,6 +698,7 @@ def fused_binned_search(
     precision: str = "highest",
     probes_given: bool = False,
     rank_rows: tuple = None,
+    dedup: bool = True,
 ):
     """SINGLE-dispatch binned search: probe, per-rank bin-sort, on-device
     work-item packing (static groups by corpus layout; per-rank query
@@ -686,7 +733,9 @@ def fused_binned_search(
         top_k=top_k, q_blk=q_blk, r_blk=r_blk, metric=metric,
         use_approx=use_approx, precision=precision,
     )
-    return unsort_map_merge(res_d, res_i, orders, sorted_to_orig, top_k, q_n)
+    return unsort_map_merge(
+        res_d, res_i, orders, sorted_to_orig, top_k, q_n, dedup=dedup
+    )
 
 
 def fused_tile_plan(
@@ -775,6 +824,7 @@ def binned_topk_fused(
     probes=None,
     q_blk: int | None = None,
     r_blk: int | None = None,
+    dedup: bool = True,
 ):
     """One-dispatch counterpart of `binned_topk_shared` (same results,
     same arguments). Tile sizes depend only on the static layout and the
@@ -802,6 +852,7 @@ def binned_topk_fused(
         use_approx=use_approx,
         precision=precision,
         probes_given=probes is not None,
+        dedup=dedup,
     )
 
 
@@ -810,7 +861,7 @@ def binned_topk_fused(
     static_argnames=(
         "num_bins", "nprobe", "top_k", "q_blk", "r_blk", "chunk",
         "w_rank", "q_pad_rank", "metric", "probes_given", "interpret",
-        "rank_rows", "g_base",
+        "rank_rows", "g_base", "dedup", "combined",
     ),
 )
 def _pallas_fused_core(
@@ -819,10 +870,19 @@ def _pallas_fused_core(
     num_bins: int, nprobe: int, top_k: int, q_blk: int, r_blk: int,
     chunk: int, w_rank: int, q_pad_rank: int,
     metric: str, probes_given: bool, interpret: bool,
-    rank_rows: tuple = None, g_base: tuple = (0,),
+    rank_rows: tuple = None, g_base: tuple = (0,), dedup: bool = True,
+    combined: bool = False,
 ):
     """Single-dispatch binned search with the Pallas packed-scan kernel
-    (`ops/pallas_binned.py`) instead of the XLA lax.scan."""
+    (`ops/pallas_binned.py`) instead of the XLA lax.scan.
+
+    ``combined=True`` (requires every probe rank on ONE group table,
+    i.e. rank_rows all equal, and w_rank sized as
+    p*q_pad_rank//q_blk + g_max + 1): all (query, rank) PAIRS sort into
+    a single bin ordering, so each corpus group is visited once instead
+    of once per rank — tile count drops from p*(Q/q_blk + G) to
+    p*Q/q_blk + G. At nprobe=4, 100k x 300 that is ~904 -> ~611 tiles,
+    and the per-tile cost is the whole scan cost (CLAUDE.md)."""
     from vers_tpu.ops.pallas_binned import (
         _workitems_blocks,
         pallas_packed_scan,
@@ -836,6 +896,56 @@ def _pallas_fused_core(
         cdist = pairwise_distance(queries, centroids_or_probes, metric)
         _, probes = topk_smallest(cdist, nprobe)
     p = probes.shape[1]
+
+    if combined and p > 1:
+        row0 = 0 if rank_rows is None else rank_rows[0]
+        pq = p * q_n
+        rows_pad = p * q_pad_rank
+        qb_scratch = rows_pad // q_blk
+        # rank-major pair index i = r*q_n + q
+        bins_flat = jnp.transpose(probes).reshape(-1).astype(jnp.int32)
+        order = jnp.argsort(bins_flat, stable=True)
+        qidx = jnp.remainder(order, q_n)
+        q_sorted = jnp.concatenate(
+            [
+                jnp.take(queries, qidx, axis=0),
+                jnp.zeros((pq, d_pad - d), queries.dtype),
+            ],
+            axis=1,
+        )
+        qbin = bins_flat[order]
+        tail = rows_pad - pq + q_blk  # pad + scratch block
+        q_stack = jnp.pad(q_sorted, ((0, tail), (0, 0)))
+        qbin_stack = jnp.pad(qbin, (0, tail), constant_values=-1)[None, :]
+        counts = jnp.zeros((num_bins,), jnp.int32).at[bins_flat].add(1)
+        qb, gb = _workitems_blocks(
+            counts, 0, g_first[row0], q_blk, w_rank, qb_scratch,
+            g_base=g_base[row0],
+        )
+        res_d, res_i = pallas_packed_scan(
+            q_stack, qbin_stack, qb, gb,
+            corpus_padded, rbin_padded, xx_padded,
+            top_k=top_k, q_blk=q_blk, chunk=chunk,
+            r_chunks=r_blk // chunk, q_pad_rank=q_pad_rank,
+            metric=metric, interpret=interpret,
+        )
+        inv = jnp.zeros((pq,), jnp.int32).at[order].set(
+            jnp.arange(pq, dtype=jnp.int32)
+        )
+        pos = res_i[:pq][inv]
+        dd = res_d[:pq][inv]
+        live = (bins_flat < num_bins)[:, None]
+        dd = jnp.where(live, dd, jnp.inf)
+        ii = jnp.where(
+            live & (pos >= 0), s2o_padded[jnp.clip(pos, 0, None)], -1
+        )
+        all_d = dd.reshape(p, q_n, top_k).transpose(1, 0, 2).reshape(
+            q_n, p * top_k
+        )
+        all_i = ii.reshape(p, q_n, top_k).transpose(1, 0, 2).reshape(
+            q_n, p * top_k
+        )
+        return merge_probe_results(all_d, all_i, top_k, dedup=dedup)
 
     q_parts, qbin_parts, orders, lives = [], [], [], []
     qb_parts, gb_parts = [], []
@@ -912,7 +1022,7 @@ def _pallas_fused_core(
         # top-k below would be an identity — and its three row-wise
         # (Q, top_k) sorts cost as much as the whole packed scan.
         return all_d, all_i
-    return merge_probe_results(all_d, all_i, top_k)
+    return merge_probe_results(all_d, all_i, top_k, dedup=dedup)
 
 
 def binned_topk_pallas(
@@ -926,6 +1036,7 @@ def binned_topk_pallas(
     q_blk: int | None = None,
     r_blk: int | None = None,
     chunk: int | None = None,
+    dedup: bool = True,
 ):
     """Single-dispatch binned search on the Pallas kernel path. Same
     results as `binned_topk_fused` / `binned_topk_shared` (exact top-k;
@@ -956,7 +1067,11 @@ def binned_topk_pallas(
     if jax.default_backend() == "tpu":
         q_blk = max(round_up(q_blk, 128), 128)
     q_pad_rank = round_up(q_n, q_blk)
-    w_rank = q_pad_rank // q_blk + padded["g_max"] + 1
+    # one group table for every rank -> the combined (query, rank) pair
+    # sort applies at p > 1: each group visited once across all ranks
+    combined = p > 1
+    blocks = (p * q_pad_rank if combined else q_pad_rank) // q_blk
+    w_rank = blocks + padded["g_max"] + 1
     return _pallas_fused_core(
         queries,
         centroids if probes is None else probes,
@@ -967,7 +1082,8 @@ def binned_topk_pallas(
         q_pad_rank=q_pad_rank, metric=metric,
         probes_given=probes is not None,
         interpret=jax.default_backend() != "tpu",
-        rank_rows=(0,) * p, g_base=padded["g_base"],
+        rank_rows=(0,) * p, g_base=padded["g_base"], dedup=dedup,
+        combined=combined,
     )
 
 

@@ -219,6 +219,9 @@ def forest_search_shared_pallas(
             q_pad_rank=q_pad_rank, metric="sq_euclidean",
             probes_given=True, interpret=interpret,
             rank_rows=(0,) * n_probes, g_base=(0,),
+            # one group table per tree -> combined pair sort at p > 1
+            # (callers size w_rank for it); trees overlap, keep dedup
+            combined=n_probes > 1,
         )
         md, mi = merge_probe_results(
             jnp.concatenate([bd, td], axis=1),

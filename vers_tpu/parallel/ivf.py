@@ -292,6 +292,7 @@ class ShardedIVFFlatIndex(Index):
             jnp.asarray(np.concatenate(out_d, axis=1)),
             jnp.asarray(np.concatenate(out_i, axis=1)),
             top_k,
+            dedup=False,  # IVF probe ranks are distinct clusters
         )
         return SearchResult(
             ids=np.asarray(fi, dtype=np.int64), distances=np.asarray(fd)
