@@ -61,26 +61,51 @@ def main():
     truth = np.asarray(ti)
     del corpus, ti
 
-    res = h.search_batch(qd, 10)
-    rec = recall_at_k(res.ids, truth)
-    t, _ = timed_device(
-        lambda: h.search_batch_device(qd, 10), warmup=1, iters=2, depth=8
-    )
-    cache = h._device_cache
-    inline = cache.get("inline")
-    dp = int(inline["proj"].shape[1]) if inline else 0
-    log(
-        f"default config: qps={q_n / t:.0f} recall@10={rec:.4f} "
-        f"(auto inline dp={dp}, deg={cache['adjs'][0].shape[1]})"
-    )
+    import dataclasses
+
+    base_cfg = h.config
+    variants = [("auto", base_cfg)]
+    if os.environ.get("AB", "1") == "1":
+        # yesterday's resolved default (dp=32 table over the uncapped
+        # width-49 graph) on the SAME build — the same-day A/B the
+        # auto-policy change is judged by
+        variants.append(
+            ("dp32_uncapped",
+             dataclasses.replace(base_cfg, nav_inline_dp=32)),
+        )
     rec_out = dict(
         ts=time.time(),
         what="hnsw_1m_default_config",
         n=n, d=d, q=q_n, ef=32, build_s=round(build_s, 1),
         canary_s=round(canary, 4),
-        qps=round(q_n / t), recall=round(rec, 4),
-        auto_dp=dp,
     )
+    for name, cfg in variants:
+        h.config = cfg
+        h._device_cache = None  # drop the previous variant's tables
+        res = h.search_batch(qd, 10)
+        rec = recall_at_k(res.ids, truth)
+        t, _ = timed_device(
+            lambda: h.search_batch_device(qd, 10), warmup=1, iters=2,
+            depth=8,
+        )
+        cache = h._device_cache
+        inline = cache.get("inline")
+        dp = int(inline["proj"].shape[1]) if inline else 0
+        deg = int(cache["adjs"][0].shape[1])
+        log(
+            f"{name}: qps={q_n / t:.0f} recall@10={rec:.4f} "
+            f"(inline dp={dp}, deg={deg})"
+        )
+        if name == "auto":
+            rec_out.update(
+                qps=round(q_n / t), recall=round(rec, 4), auto_dp=dp,
+                auto_deg=deg,
+            )
+        else:
+            rec_out[name] = dict(
+                qps=round(q_n / t), recall=round(rec, 4), dp=dp, deg=deg
+            )
+    h.config = base_cfg
     with open(os.path.join(os.path.dirname(__file__), "tpu_results.jsonl"),
               "a") as f:
         f.write(json.dumps(rec_out) + "\n")

@@ -203,7 +203,11 @@ def test_auto_policy_and_expand_resolution():
     import pytest
 
     from vers_tpu.config import HNSWConfig
-    from vers_tpu.index.hnsw import auto_inline_dp, resolve_beam_expand
+    from vers_tpu.index.hnsw import (
+        auto_inline_dp,
+        auto_nav_policy,
+        resolve_beam_expand,
+    )
     from vers_tpu.ops.beam_inline import build_inline_table
 
     cfg = HNSWConfig()
@@ -224,6 +228,29 @@ def test_auto_policy_and_expand_resolution():
     # beam-routed configs never feed the inline beam
     cfgb = dataclasses.replace(cfg, route_mode="beam")
     assert auto_inline_dp(cfgb, 1_000_000, 1_000_064, 32) is None
+
+    # joint policy (cap, dp): at 1M the gather width is capped at 32
+    # and dp=64 fits regardless of the graph's natural degree — the
+    # reference-default M=24 graph (width 49) gets the measured-best
+    # max_degree=32 + dp=64 operating point from four ints
+    assert auto_nav_policy(cfg, 1_000_000, 1_000_064) == (32, 64)
+    # small corpora: no cap, no table
+    assert auto_nav_policy(cfg, 100_000, 100_096) == (None, None)
+    # the user's tighter max_degree survives; a looser one is capped
+    cfg_md = dataclasses.replace(cfg, max_degree=16)
+    assert auto_nav_policy(cfg_md, 1_000_000, 1_000_064) == (16, 64)
+    cfg_md48 = dataclasses.replace(cfg_md, max_degree=48)
+    assert auto_nav_policy(cfg_md48, 1_000_000, 1_000_064) == (32, 64)
+    # explicit dp: the user's knobs win untouched
+    cfg_dp = dataclasses.replace(cfg, nav_inline_dp=64, max_degree=48)
+    assert auto_nav_policy(cfg_dp, 1_000_000, 1_000_064) == (48, 64)
+    cfg_off = dataclasses.replace(cfg, nav_inline_dp=None)
+    assert auto_nav_policy(cfg_off, 1_000_000, 1_000_064) == (None, None)
+    # budget too small for any dp at the capped width: no cap either
+    cfg_tiny = dataclasses.replace(cfg, inline_hbm_budget_gb=0.05)
+    assert auto_nav_policy(cfg_tiny, 1_000_000, 1_000_064) == (None, None)
+    # beam routing: classic everything
+    assert auto_nav_policy(cfgb, 1_000_000, 1_000_064) == (None, None)
 
     assert resolve_beam_expand(cfg, inline_on=False) == 8
     assert resolve_beam_expand(cfg, inline_on=True) == 4

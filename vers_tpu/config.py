@@ -108,15 +108,21 @@ class HNSWConfig:
     # "auto" (default): size-aware policy at device-cache build — on
     # when the corpus is large enough that the row-gather bound
     # dominates (>= ~200k rows; measured qps-neutral at 131k, 2.8x at
-    # 1M) with dp picked to fit ``inline_hbm_budget_gb`` (64, then 32,
-    # else classic gathers). The reference's users pass four ints and
-    # get its best behavior (`main.rs:70-79`); so should ours.
-    # None/0 -> classic row gathers; an int forces that dp.
+    # 1M), the layer gather width capped at
+    # ``min(max_degree or 32, 32)`` (index/hnsw.py INLINE_DEG_CAP —
+    # the measured-best 1M operating point runs max_degree=32; the
+    # uncapped reference-default graph, M=24 -> width 49, read 26.6k
+    # vs 40.0k qps) and dp picked to fit ``inline_hbm_budget_gb``
+    # (64, then 32, else classic gathers + no cap). The reference's
+    # users pass four ints and get its best behavior (`main.rs:70-79`);
+    # so should ours. None/0 -> classic row gathers; an int forces
+    # that dp (and leaves max_degree alone).
     nav_inline_dp: Optional[object] = "auto"
-    # HBM budget for the (n_pad, deg*dp) bf16 inline table when
-    # nav_inline_dp="auto" picks dp (the table is ~4.1GB at
-    # 1M x deg32 x dp64 next to a 1.2GB corpus on a 16GB chip).
-    inline_hbm_budget_gb: float = 4.0
+    # HBM budget for the (n_pad, cap*dp) bf16 inline table when
+    # nav_inline_dp="auto" picks dp (the table is exactly 4GiB at
+    # 1M x deg32 x dp64 next to a 1.2GB corpus on a 16GB chip; 4.5
+    # leaves margin so the knife-edge case stays on dp=64).
+    inline_hbm_budget_gb: float = 4.5
     # Exact-refine width for the inline beam. Projection-only beam
     # RETENTION collapses when true neighbours differ at
     # projection-noise scale (measured 0.50 recall at 1M x 300,

@@ -59,12 +59,55 @@ def auto_inline_dp(config, n_rows: int, n_pad: int, deg: int):
     if getattr(config, "route_mode", "scan") != "scan":
         return None
     budget = int(
-        float(getattr(config, "inline_hbm_budget_gb", 4.0)) * (1 << 30)
+        float(getattr(config, "inline_hbm_budget_gb", 4.5)) * (1 << 30)
     )
     for dp in (64, 32):
         if n_pad * deg * dp * 2 <= budget:
             return dp
     return None
+
+
+# Gather-degree cap applied by the auto nav policy when the inline
+# beam engages. The measured 1M x 300 operating point (CLAUDE.md
+# 08-19: 40.0k qps @ recall 0.9889 ef=32) runs max_degree=32 +
+# dp=64; uncapped reference-default graphs (M=24 -> layer-0 width
+# 49) read 26.6k @ 0.9894 with the dp=32 table that fits instead
+# (tpu_results.jsonl `hnsw_1m_default_config`). Truncation keeps the
+# FIRST 32 neighbours (insertion order, the reference's Vec order).
+INLINE_DEG_CAP = 32
+
+
+def auto_nav_policy(config, n_rows: int, n_pad: int):
+    """Joint resolution of (adjacency gather cap, inline dp) for
+    ``nav_inline_dp="auto"`` (VERDICT r3 #3). Returns ``(cap, dp)``:
+
+    - explicit ``nav_inline_dp`` (int/None/0): the user's knobs win —
+      ``(config.max_degree, that value)``.
+    - auto, small corpus (<200k rows) or beam routing: classic gathers,
+      no cap beyond the user's — the cap trades recall for gather
+      bandwidth and only pays off alongside the inline table.
+    - auto at scale: cap the layer-0 gather width at
+      ``min(max_degree or INLINE_DEG_CAP, INLINE_DEG_CAP)`` and pick
+      the largest dp of (64, 32) whose (n_pad, cap*dp) bf16 table fits
+      ``inline_hbm_budget_gb``. If neither fits, no cap, no table.
+
+    The reference's users pass four ints and get its best behaviour
+    (`main.rs:70-79`); this policy reproduces the measured-best TPU
+    operating point from those same four ints."""
+    user_cap = getattr(config, "max_degree", None)
+    dp_cfg = getattr(config, "nav_inline_dp", None)
+    if dp_cfg != "auto":
+        return user_cap, (int(dp_cfg) if dp_cfg else None)
+    if n_rows < 200_000 or getattr(config, "route_mode", "scan") != "scan":
+        return user_cap, None
+    cap = min(int(user_cap), INLINE_DEG_CAP) if user_cap else INLINE_DEG_CAP
+    budget = int(
+        float(getattr(config, "inline_hbm_budget_gb", 4.5)) * (1 << 30)
+    )
+    for dp in (64, 32):
+        if n_pad * cap * dp * 2 <= budget:
+            return cap, dp
+    return user_cap, None
 
 
 class _Layer:
@@ -852,7 +895,7 @@ class HNSWIndex(Index):
             adjs.append(full)
         return adjs
 
-    def _host_graph_arrays(self) -> dict:
+    def _host_graph_arrays(self, cap_override=None) -> dict:
         """Host-side (numpy) assembly of the serving graph — shared by
         the single-chip device cache below and the corpus-partitioned
         sharding layer (`parallel/hnsw_partitioned`). Returns dict(
@@ -885,8 +928,14 @@ class HNSWIndex(Index):
         # high-degree node otherwise widens every gather row of its
         # layer. Truncation keeps the FIRST max_degree neighbours
         # (insertion order — the reference's Vec order) and trades a
-        # little recall for gather bandwidth.
-        cap = getattr(self.config, "max_degree", None)
+        # little recall for gather bandwidth. ``cap_override`` carries
+        # the auto nav policy's joint (cap, dp) decision (see
+        # auto_nav_policy) from the device-cache build.
+        cap = (
+            cap_override
+            if cap_override is not None
+            else getattr(self.config, "max_degree", None)
+        )
         pending = self._pending_graph
         if pending is not None and identity:
             adjs = self._pack_pending_adjs(pending, n_pad, cap)
@@ -934,7 +983,18 @@ class HNSWIndex(Index):
     def _ensure_device_cache(self):
         if self._device_cache is not None:
             return self._device_cache
-        g = self._host_graph_arrays()
+        # resolve the joint nav policy (gather-degree cap, inline dp)
+        # BEFORE packing the graph arrays: the cap changes the padded
+        # adjacency width the pack produces, and BEFORE the nav dtype
+        # (the inline beam needs a plain bf16 full-dim table)
+        if self._corpus_dev is not None:
+            n_rows = self._rows_used
+            n_pad_est = int(self._corpus_dev.shape[0])
+        else:
+            n_rows = len(self._id_row)
+            n_pad_est = round_up(max(n_rows, 1), 8)
+        cap, inline_dp = auto_nav_policy(self.config, n_rows, n_pad_est)
+        g = self._host_graph_arrays(cap_override=cap)
         node_ids = g["node_ids"]
         adjs = [jnp.asarray(a) for a in g["adjs"]]
         vecs_dev = (
@@ -942,18 +1002,8 @@ class HNSWIndex(Index):
             if g["vecs"] is None
             else to_device(g["vecs"])
         )
-        # resolve the inline-navigation policy BEFORE the nav dtype
-        # (the inline beam needs a plain bf16 full-dim table)
-        inline_dp = getattr(self.config, "nav_inline_dp", None)
-        if inline_dp == "auto":
-            inline_dp = (
-                auto_inline_dp(
-                    self.config, g["n"], int(adjs[0].shape[0]),
-                    int(adjs[0].shape[1]),
-                )
-                if adjs
-                else None
-            )
+        if not adjs:
+            inline_dp = None
         nav_dtype = getattr(self.config, "nav_dtype", "bfloat16")
         if inline_dp and nav_dtype == "int8":
             # the inline beam's exact-refine step rescoring needs a
