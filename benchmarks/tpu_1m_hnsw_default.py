@@ -8,8 +8,8 @@ configuring.
 
 Run from /root/repo, strictly serialized with other TPU jobs:
     python -u benchmarks/tpu_1m_hnsw_default.py
-Env: N (1_000_000), Q (16384), SAVE_GRAPH (path to reuse the built
-graph across runs; build dominates wall-clock).
+Env: N (1_000_000), Q (16384), AB (=1: also time the steps-uncapped
+control on the same build).
 """
 
 import json
@@ -66,12 +66,12 @@ def main():
     base_cfg = h.config
     variants = [("auto", base_cfg)]
     if os.environ.get("AB", "1") == "1":
-        # yesterday's resolved default (dp=32 table over the uncapped
-        # width-49 graph) on the SAME build — the same-day A/B the
-        # auto-policy change is judged by
+        # the pre-steps-cap default (legacy max(4*ef,64) bound) on the
+        # SAME build — the same-day A/B the auto-steps change is
+        # judged by (2026-08-20 earlier window: 29.4k @ 0.9896)
         variants.append(
-            ("dp32_uncapped",
-             dataclasses.replace(base_cfg, nav_inline_dp=32)),
+            ("steps_uncapped",
+             dataclasses.replace(base_cfg, beam_steps=128)),
         )
     rec_out = dict(
         ts=time.time(),
@@ -105,6 +105,12 @@ def main():
             rec_out[name] = dict(
                 qps=round(q_n / t), recall=round(rec, 4), dp=dp, deg=deg
             )
+        # Drop every local that pins this variant's device buffers —
+        # without this the previous variant's ~4GB inline table stays
+        # alive (via these refs) while the next variant allocates its
+        # own, and the second search_batch dies RESOURCE_EXHAUSTED
+        # (observed 2026-08-20, /tmp/hnsw1m_r4b.log).
+        del res, cache, inline
     h.config = base_cfg
     with open(os.path.join(os.path.dirname(__file__), "tpu_results.jsonl"),
               "a") as f:

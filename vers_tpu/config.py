@@ -152,8 +152,13 @@ class HNSWConfig:
     # None (default) -> 8 on the classic gather beam and construction
     # beams, 4 on the inline beam; an int forces that value everywhere.
     beam_expand: Optional[int] = None
-    # Cap on the query beam's lockstep iterations. None -> the legacy
-    # bound max(4*ef, 64); a tight cap trades straggler-query recall
+    # Cap on the query beam's lockstep iterations. None -> auto: the
+    # legacy bound max(4*ef, 64) on the classic gather beam, but
+    # ceil(ef/expand) on the INLINE beam (the lockstep while_loop runs
+    # until every query in the batch converges, so stragglers alone
+    # set wall-clock; ceil(ef/expand) expands ef candidates and is the
+    # measured 1M operating point's beam_steps=8 at ef=32/expand=4 —
+    # CLAUDE.md r3 40k qps). A tight cap trades straggler-query recall
     # for wall-clock (A/B in benchmarks/tpu_query_beam_ab.py).
     beam_steps: Optional[int] = None
     # Batched-query routing strategy. "scan" (default): ONE brute-force

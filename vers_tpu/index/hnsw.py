@@ -1115,6 +1115,17 @@ class HNSWIndex(Index):
                 refine = getattr(self.config, "nav_inline_refine", None)
                 if refine is None:
                     refine = 2 * ef  # exact-retention default
+                if steps_cap is None:
+                    # Auto step cap for the inline beam: the lockstep
+                    # while_loop runs until EVERY query converges, so
+                    # straggler queries alone set wall-clock under the
+                    # legacy max(4*ef, 64) bound. ceil(ef/expand) steps
+                    # suffice to expand ef candidates; at the measured
+                    # 1M x 300 operating point (ef=32, expand=4 -> 8)
+                    # this is the r3 headline's beam_steps=8
+                    # (40.0k qps @ 0.9889 vs 29.4k @ 0.9896 uncapped,
+                    # tpu_results.jsonl hnsw_1m_default_config).
+                    steps_cap = max(1, -(-ef // expand))
                 return full_descent_scan_inline(
                     qdev,
                     cache["vecs"],
