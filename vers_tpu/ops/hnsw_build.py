@@ -44,6 +44,11 @@ from vers_tpu.ops.topk import fused_scan_topk, topk_smallest
 
 _INF = jnp.inf
 
+# Guard for the construction-time inline table (see build_graph
+# insert_inline): an oversized device allocation wedges this hardware's
+# shared tunnel for every client, so refuse loudly instead.
+_INLINE_BUILD_MAX_BYTES = 8 << 30
+
 
 def draw_insertion_layers(n: int, num_layers: int, m: int, seed: int) -> np.ndarray:
     """Parity with `get_insertion_layer` (`hnsw.rs:335-346`):
@@ -154,6 +159,124 @@ def _beam(q, vecs, adj, rank_map, entry, ef: int, max_steps: int,
     return beam_d, beam_i
 
 
+def _project_q(q, basis):
+    """(W, d) nav rows -> (W, dp) renormalized bf16 projected queries
+    (same transform as ops/beam_inline.project_rows, inline-traceable)."""
+    p = jnp.einsum(
+        "wd,de->we", q.astype(jnp.float32), basis,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    norm = jnp.linalg.norm(p, axis=1, keepdims=True)
+    return (p / jnp.maximum(norm, 1e-12)).astype(jnp.bfloat16)
+
+
+def _beam_inline(q, qp, vecs, inline_tab, adj_fwd, rank_map, entry,
+                 ef: int, max_steps: int, expand: int = 8,
+                 refine: int = 64, entry_d=None):
+    """Neighborhood-inlined insertion beam — the build-side twin of the
+    query path's `ops/beam_inline.beam_search_layer_inline` (D17).
+
+    The classic `_beam` gathers W*expand*deg individual neighbour nav
+    rows per lockstep iteration; TPU row gathers are row-op-bound, so
+    at 1M shapes that step is ~20 ms of the ~25 ms iteration. Here
+    ``inline_tab`` (rows, width, dp) holds, slot-aligned with the FULL
+    adjacency width (forward + slack columns), each node's neighbours'
+    PCA-projected renormalized bf16 vectors; one iteration gathers only
+    W*expand wide rows, scores all expand*deg candidates in projected
+    space, keeps the top ``refine``, and gathers just those full-dim
+    nav rows for EXACT distances — the beam ranks and retains in exact
+    nav space end to end (projection only filters), like the query
+    path's refine mode. ``adj_fwd`` supplies candidate ids (forward
+    columns only; slack slots of inline_tab are gathered but discarded).
+
+    Same beam/visited semantics as `_beam` (reference layer search:
+    `vers/src/indexes/hnsw.rs:242-307`)."""
+    w, d = q.shape
+    n_pad = vecs.shape[0]
+    rows_total, width, dp = inline_tab.shape
+    deg = adj_fwd.shape[1]
+    e = max(1, min(expand, ef))
+    r = max(1, min(refine, e * deg))
+
+    def dist_to(ids):
+        v = jnp.take(vecs, jnp.clip(ids, 0, n_pad - 1), axis=0)
+        dots = jnp.einsum(
+            "wmd,wd->wm", v, q, preferred_element_type=jnp.float32
+        )
+        return jnp.where(ids >= 0, 1.0 - dots, _INF)
+
+    entry = entry.astype(jnp.int32)
+    if entry.ndim == 1:
+        entry = entry[:, None]
+    s = min(entry.shape[1], ef)
+    entry = entry[:, :s]
+    seed_d = dist_to(entry) if entry_d is None else entry_d[:, :s]
+    seed_d = jnp.where(entry >= 0, seed_d, _INF)
+    beam_i = jnp.full((w, ef), -1, jnp.int32).at[:, :s].set(entry)
+    beam_d = jnp.full((w, ef), _INF).at[:, :s].set(seed_d)
+    expanded = jnp.zeros((w, ef), bool)
+    col = jax.lax.broadcasted_iota(jnp.int32, (w, ef), 1)
+
+    def cond(state):
+        step, _, _, _, active = state
+        return jnp.logical_and(step < max_steps, active)
+
+    def body(state):
+        step, beam_d, beam_i, expanded, _ = state
+        rank = jnp.where(expanded | (beam_i < 0), _INF, beam_d)
+        pick_d, pick = topk_smallest(rank, e)               # (W, E)
+        has = pick_d < _INF
+        nodes = jnp.where(
+            has, jnp.take_along_axis(beam_i, pick, axis=1), -1
+        )
+        onehot = jnp.any(
+            (col[:, None, :] == pick[:, :, None]) & has[:, :, None], axis=1
+        )
+        expanded = expanded | onehot
+
+        rows = jnp.take(rank_map, jnp.clip(nodes, 0, n_pad - 1))
+        safe_rows = jnp.clip(rows, 0, rows_total - 1)
+        nbrs = jnp.take(adj_fwd, safe_rows, axis=0)          # (W, E, deg)
+        nbrs = jnp.where(
+            (has & (rows >= 0))[:, :, None], nbrs, -1
+        ).reshape(w, e * deg)
+        # THE payoff: E wide rows per query instead of E*deg thin ones
+        blocks = jnp.take(inline_tab, safe_rows, axis=0)     # (W,E,width,dp)
+        nv = blocks[:, :, :deg, :].reshape(w, e * deg, dp)
+        dots = jnp.einsum(
+            "wmd,wd->wm", nv, qp,
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )
+        nd = jnp.where(nbrs >= 0, 1.0 - dots, _INF)
+        # cross-step dups only (dedup_self economics match `_beam`:
+        # same-step copies merely waste refine slots)
+        dup = jnp.any(nbrs[:, :, None] == beam_i[:, None, :], axis=2)
+        nd = jnp.where(dup & (nbrs >= 0), _INF, nd)
+
+        # projection FILTERS the top-r; the beam merges on exact navs
+        sc, sel = topk_smallest(nd, r)
+        cand = jnp.take_along_axis(nbrs, sel, axis=1)        # (W, r)
+        cand = jnp.where(jnp.isfinite(sc), cand, -1)
+        cd = dist_to(cand)
+
+        cat_d = jnp.concatenate([beam_d, cd], axis=1)
+        cat_i = jnp.concatenate([beam_i, cand], axis=1)
+        cat_e = jnp.concatenate(
+            [expanded, jnp.zeros((w, r), bool)], axis=1
+        )
+        new_d, sel2 = topk_smallest(cat_d, ef)
+        new_i = jnp.take_along_axis(cat_i, sel2, axis=1)
+        new_e = jnp.take_along_axis(cat_e, sel2, axis=1)
+        new_i = jnp.where(jnp.isfinite(new_d), new_i, -1)
+        active = jnp.any((~new_e) & (new_i >= 0) & jnp.isfinite(new_d))
+        return step + 1, new_d, new_i, new_e, active
+
+    state = (jnp.array(0, jnp.int32), beam_d, beam_i, expanded, jnp.array(True))
+    _, beam_d, beam_i, _, _ = jax.lax.while_loop(cond, body, state)
+    return beam_d, beam_i
+
+
 def _heuristic_select(q, vecs, beam_d, beam_i, m: int):
     """Vectorized neighbour-selection heuristic (paper §4, reference
     `hnsw.rs:104-164` incl. the m+1 quirk): accept candidate c iff
@@ -193,11 +316,21 @@ def _heuristic_select(q, vecs, beam_d, beam_i, m: int):
     return out_d, out_i
 
 
-def _commit_edges(adj, dist, rank_map, u_ids, sel_i, sel_d, connect, deg: int, slack: int):
+def _commit_edges(adj, dist, rank_map, u_ids, sel_i, sel_d, connect, deg: int, slack: int,
+                  inline=None, proj=None):
     """Write forward rows for new nodes and reverse edges into slack
     slots, then compact affected rows back to ``deg`` by distance.
     adj/dist: (rows, deg+slack). u_ids (W,) global; sel_i/sel_d
-    (W, S<=deg). Returns (adj, dist)."""
+    (W, S<=deg). Returns (adj, dist).
+
+    When ``inline`` (rows, deg+slack, dp) / ``proj`` (n_pad, dp) are
+    given, the construction-time inline table is maintained SLOT-FOR-
+    SLOT with the adjacency: forward rows get their neighbours'
+    projected blocks, reverse edges drop ``proj[u]`` into the same
+    slack slot as the id, and compaction reorders blocks with the very
+    permutation the ids go through — no recompute-from-adjacency pass
+    (which would cost rows*deg thin gathers, dwarfing the beam's
+    savings). Returns (adj, dist, inline) then."""
     w, s = sel_i.shape
     rows_total = adj.shape[0]
     width = deg + slack
@@ -213,6 +346,13 @@ def _commit_edges(adj, dist, rank_map, u_ids, sel_i, sel_d, connect, deg: int, s
     u_row = jnp.where(connect & (u_ids >= 0) & (u_row >= 0), u_row, dump)
     adj = adj.at[u_row].set(fwd_i, mode="drop")
     dist = dist.at[u_row].set(fwd_d, mode="drop")
+    if inline is not None:
+        dp = proj.shape[1]
+        blk = jnp.take(proj, jnp.clip(sel_i, 0, n_pad - 1), axis=0)
+        blk = jnp.where((sel_i >= 0)[:, :, None], blk, 0)    # (W, S, dp)
+        fwd_blk = jnp.zeros((w, width, dp), proj.dtype)
+        fwd_blk = jax.lax.dynamic_update_slice(fwd_blk, blk, (0, 0, 0))
+        inline = inline.at[u_row].set(fwd_blk, mode="drop")
 
     # ---- reverse edges ------------------------------------------------
     e = w * s
@@ -248,6 +388,9 @@ def _commit_edges(adj, dist, rank_map, u_ids, sel_i, sel_d, connect, deg: int, s
     slot = jnp.where(keep, deg + rank, 0)
     adj = adj.at[v_row_k, slot].set(u2.astype(jnp.int32), mode="drop")
     dist = dist.at[v_row_k, slot].set(d2, mode="drop")
+    if inline is not None:
+        u_blk = jnp.take(proj, jnp.clip(u2, 0, n_pad - 1), axis=0)
+        inline = inline.at[v_row_k, slot].set(u_blk, mode="drop")
 
     # ---- compact affected rows back to deg ----------------------------
     rows = jnp.where(val2 & (v_row >= 0), v_row, dump)
@@ -265,6 +408,16 @@ def _commit_edges(adj, dist, rank_map, u_ids, sel_i, sel_d, connect, deg: int, s
     nd = jnp.pad(nd, ((0, 0), (0, pad)), constant_values=_INF)
     adj = adj.at[rows].set(ni, mode="drop")
     dist = dist.at[rows].set(nd, mode="drop")
+    if inline is not None:
+        # blocks ride the ids' compaction permutation; duplicate rows
+        # in ``rows`` write identical values (computed from the same
+        # gathered state), matching the adj/dist scatters above
+        g_blk = inline.at[rows].get(mode="fill", fill_value=0)
+        nblk = jnp.take_along_axis(g_blk, order[:, :, None], axis=1)
+        nblk = jnp.where(jnp.isfinite(nd[:, :deg])[:, :, None], nblk, 0)
+        nblk = jnp.pad(nblk, ((0, 0), (0, pad), (0, 0)))
+        inline = inline.at[rows].set(nblk, mode="drop")
+        return adj, dist, inline
     return adj, dist
 
 
@@ -275,7 +428,10 @@ def make_wave_step(num_layers: int, m: int, efc: int, degs: List[int],
                    beam_steps: int | None = None,
                    route_steps: int | None = 16,
                    route_scan: bool = False, seed_count: int = 1,
-                   scan_chunk: int = 16384):
+                   scan_chunk: int = 16384,
+                   insert_inline: bool = False,
+                   inline_refine: int = 64,
+                   inline_steps: int | None = None):
     """Build the jitted per-wave function. degs[l] = forward degree cap
     of layer l (m_l + 1 for the heuristic's m+1 quirk); adjacency
     buffers are (rows, degs[l] + slack).
@@ -428,13 +584,18 @@ def make_wave_step(num_layers: int, m: int, efc: int, degs: List[int],
 
         return wave_step_scan
 
-    @functools.partial(jax.jit, donate_argnums=(2, 3))
-    def wave_step(vecs, rank_maps, adjs, dists, wave_ids, ins_l, entry):
+    donate = (2, 3, 7) if insert_inline else (2, 3)
+
+    @functools.partial(jax.jit, donate_argnums=donate)
+    def wave_step(vecs, rank_maps, adjs, dists, wave_ids, ins_l, entry,
+                  *inline_args):
         w = wave_ids.shape[0]
         n_pad = vecs.shape[0]
         alive = wave_ids >= 0
         q = jnp.take(vecs, jnp.clip(wave_ids, 0, n_pad - 1), axis=0)
         ent = jnp.broadcast_to(entry, (w,)).astype(jnp.int32)
+        if insert_inline:
+            inline_tab, proj, basis = inline_args
 
         new_adjs = list(adjs)
         new_dists = list(dists)
@@ -490,11 +651,20 @@ def make_wave_step(num_layers: int, m: int, efc: int, degs: List[int],
 
         # layer 0: every member inserts — full-width beam
         deg = degs[0]
-        beam_d, beam_i = _beam(
-            q, vecs, new_adjs[0][:, :deg], rank_maps[0], ent, efc,
-            max_steps=beam_steps or 4 * efc, expand=expand,
-            dedup_self=dedup_self,
-        )
+        if insert_inline:
+            qp = _project_q(q, basis)
+            beam_d, beam_i = _beam_inline(
+                q, qp, vecs, inline_tab, new_adjs[0][:, :deg],
+                rank_maps[0], ent, efc,
+                max_steps=inline_steps or beam_steps or 4 * efc,
+                expand=expand, refine=inline_refine,
+            )
+        else:
+            beam_d, beam_i = _beam(
+                q, vecs, new_adjs[0][:, :deg], rank_maps[0], ent, efc,
+                max_steps=beam_steps or 4 * efc, expand=expand,
+                dedup_self=dedup_self,
+            )
         connect = alive & (ins_l >= 0)
         sel_d, sel_i = _heuristic_select(q, vecs, beam_d, beam_i, 2 * m)
         if sel_d.shape[1] < deg:
@@ -504,6 +674,13 @@ def make_wave_step(num_layers: int, m: int, efc: int, degs: List[int],
         else:
             sel_d = sel_d[:, :deg]
             sel_i = sel_i[:, :deg]
+        if insert_inline:
+            new_adjs[0], new_dists[0], inline_tab = _commit_edges(
+                new_adjs[0], new_dists[0], rank_maps[0],
+                wave_ids, sel_i, sel_d, connect, deg, slack,
+                inline=inline_tab, proj=proj,
+            )
+            return new_adjs, new_dists, inline_tab
         new_adjs[0], new_dists[0] = _commit_edges(
             new_adjs[0], new_dists[0], rank_maps[0],
             wave_ids, sel_i, sel_d, connect, deg, slack,
@@ -532,6 +709,10 @@ def build_graph(
     as_arrays: bool = False,
     route_scan: bool = False,
     seed_count: int = 1,
+    insert_inline: bool = False,
+    inline_dp: int = 32,
+    inline_refine: int = 64,
+    inline_steps: int | None = None,
 ):
     """Run the full batched build. Returns (ins_layers (n,), per-layer
     adjacency dict {global_id: [(nbr_global_id, dist), ...]}).
@@ -556,7 +737,16 @@ def build_graph(
     global-id order, so layer l's already-built members are the first
     ``searchsorted(members[l], wave_start)`` rows of a static per-layer
     member table — upper-layer candidates and layer-0 entry seeds come
-    from exact scans of that prefix; routing beams are gone."""
+    from exact scans of that prefix; routing beams are gone.
+
+    ``insert_inline``: neighborhood-inlined layer-0 insertion beams
+    (`_beam_inline` — the build-side D17): a construction-time inline
+    table of PCA-projected neighbour blocks, maintained slot-aligned
+    with the adjacency through `_commit_edges`, replaces the classic
+    beam's W*expand*deg thin row gathers with W*expand wide ones.
+    Costs (rows0, (deg0+slack)*inline_dp) bf16 of HBM next to the nav
+    table. ``inline_steps`` caps the inline beam's lockstep iterations
+    independently of ``beam_steps`` (None = inherit)."""
     if isinstance(vectors, jax.Array):
         n_pad = vectors.shape[0]
         n = int(n_valid) if n_valid is not None else n_pad
@@ -624,6 +814,32 @@ def build_graph(
     # prefix at any wave is contiguous. Nav dtype (the scan is a dense
     # matmul; bf16 halves its bytes). Layer 0 gets a dummy — the scan
     # path never reads it.
+    # construction-time inline table (insert_inline): layer-0 rows,
+    # FULL adjacency width (slot alignment with adj — see _commit_edges)
+    basis = proj = inline_tab = None
+    if insert_inline:
+        if route_scan:
+            raise NotImplementedError(
+                "insert_inline + route_scan are separate layer-0 paths; "
+                "pick one (insert_inline implies classic routing beams)"
+            )
+        from vers_tpu.ops.beam_inline import pca_projection, project_rows
+
+        rows0 = adjs[0].shape[0]
+        width0 = degs[0] + slack
+        table_bytes = rows0 * width0 * inline_dp * 2
+        if table_bytes > _INLINE_BUILD_MAX_BYTES:
+            raise ValueError(
+                f"construction inline table would be "
+                f"{table_bytes / 2**30:.1f} GB ({rows0} rows x width "
+                f"{width0} x dp {inline_dp} bf16) > the "
+                f"{_INLINE_BUILD_MAX_BYTES / 2**30:.1f} GB guard; "
+                f"reduce inline_dp or disable insert_inline"
+            )
+        basis = pca_projection(vecs, inline_dp)
+        proj = project_rows(vecs, basis, inline_dp)
+        inline_tab = jnp.zeros((rows0, width0, inline_dp), jnp.bfloat16)
+
     tabs = None
     tab_members = None
     if route_scan and num_layers > 1:
@@ -700,6 +916,8 @@ def build_graph(
                 dedup_self=dedup_self, beam_steps=beam_steps,
                 route_steps=route_steps,
                 route_scan=tabs is not None, seed_count=seed_count,
+                insert_inline=insert_inline, inline_refine=inline_refine,
+                inline_steps=inline_steps,
             )
         ids = np.full((bucket,), -1, np.int64)
         ids[:wsz] = wave
@@ -717,6 +935,13 @@ def build_graph(
                 jnp.asarray(ids, jnp.int32), jnp.asarray(ins_w, jnp.int32),
                 jnp.asarray(entry, jnp.int32),
                 tabs, tab_members, n_built,
+            )
+        elif insert_inline:
+            adjs, dists, inline_tab = step_fns[key](
+                vecs, rank_maps, adjs, dists,
+                jnp.asarray(ids, jnp.int32), jnp.asarray(ins_w, jnp.int32),
+                jnp.asarray(entry, jnp.int32),
+                inline_tab, proj, basis,
             )
         else:
             adjs, dists = step_fns[key](
