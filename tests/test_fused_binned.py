@@ -58,6 +58,7 @@ def test_fused_probes_given_matches_shared():
     )
 
 
+@pytest.mark.parametrize("kernel_ids", [False, True])
 @pytest.mark.parametrize(
     "n,d,k,q_n,nprobe,skew",
     [
@@ -66,9 +67,11 @@ def test_fused_probes_given_matches_shared():
         (997, 16, 7, 33, 2, True),
     ],
 )
-def test_pallas_packed_matches_shared(n, d, k, q_n, nprobe, skew):
+def test_pallas_packed_matches_shared(n, d, k, q_n, nprobe, skew,
+                                      kernel_ids):
     """The Pallas packed-scan kernel (interpret mode on CPU) returns
-    exactly the two-dispatch reference results."""
+    exactly the two-dispatch reference results — in both epilogue-s2o
+    and in-kernel id-stream modes."""
     rng = np.random.default_rng(42)
     x = rng.normal(size=(n, d)).astype(np.float32)
     bins = (
@@ -81,7 +84,8 @@ def test_pallas_packed_matches_shared(n, d, k, q_n, nprobe, skew):
     q = jnp.asarray(rng.normal(size=(q_n, d)).astype(np.float32))
     d1, i1 = binned.binned_topk_shared(q, cents, nprobe, layout, top_k=10)
     d2, i2 = binned.binned_topk_pallas(
-        q, cents, nprobe, layout, top_k=10, q_blk=64, r_blk=256, chunk=128
+        q, cents, nprobe, layout, top_k=10, q_blk=64, r_blk=256, chunk=128,
+        kernel_ids=kernel_ids,
     )
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(

@@ -861,7 +861,7 @@ def binned_topk_fused(
     static_argnames=(
         "num_bins", "nprobe", "top_k", "q_blk", "r_blk", "chunk",
         "w_rank", "q_pad_rank", "metric", "probes_given", "interpret",
-        "rank_rows", "g_base", "dedup", "combined",
+        "rank_rows", "g_base", "dedup", "combined", "kernel_ids",
     ),
 )
 def _pallas_fused_core(
@@ -871,7 +871,7 @@ def _pallas_fused_core(
     chunk: int, w_rank: int, q_pad_rank: int,
     metric: str, probes_given: bool, interpret: bool,
     rank_rows: tuple = None, g_base: tuple = (0,), dedup: bool = True,
-    combined: bool = False,
+    combined: bool = False, kernel_ids: bool = False,
 ):
     """Single-dispatch binned search with the Pallas packed-scan kernel
     (`ops/pallas_binned.py`) instead of the XLA lax.scan.
@@ -904,7 +904,16 @@ def _pallas_fused_core(
         qb_scratch = rows_pad // q_blk
         # rank-major pair index i = r*q_n + q
         bins_flat = jnp.transpose(probes).reshape(-1).astype(jnp.int32)
-        order = jnp.argsort(bins_flat, stable=True)
+        shift = max(pq - 1, 1).bit_length()
+        if (num_bins << shift) + pq <= 2**31 - 1:
+            # single packed-key sort (bin in the high bits, pair index
+            # in the low): the stable argsort XLA builds is a
+            # (key, iota) PAIR sort — twice the sorted payload. The
+            # iota low bits reproduce stable tie order exactly.
+            key = bins_flat * (1 << shift) + jnp.arange(pq, dtype=jnp.int32)
+            order = jnp.sort(key) & ((1 << shift) - 1)
+        else:
+            order = jnp.argsort(bins_flat, stable=True)
         qidx = jnp.remainder(order, q_n)
         q_sorted = jnp.concatenate(
             [
@@ -928,23 +937,27 @@ def _pallas_fused_core(
             top_k=top_k, q_blk=q_blk, chunk=chunk,
             r_chunks=r_blk // chunk, q_pad_rank=q_pad_rank,
             metric=metric, interpret=interpret,
+            ids_padded=s2o_padded[None, :] if kernel_ids else None,
         )
         inv = jnp.zeros((pq,), jnp.int32).at[order].set(
             jnp.arange(pq, dtype=jnp.int32)
         )
-        pos = res_i[:pq][inv]
-        dd = res_d[:pq][inv]
-        live = (bins_flat < num_bins)[:, None]
+        # q-major inverse gather: output row q*p + r is pair (r, q), so
+        # the (p, q, k) -> (q, p*k) transpose the rank-major layout
+        # needed becomes a free reshape
+        idx_qm = jnp.transpose(inv.reshape(p, q_n)).reshape(-1)
+        dd = res_d[idx_qm]
+        pos = res_i[idx_qm]
+        live = (probes.astype(jnp.int32) < num_bins).reshape(-1)[:, None]
         dd = jnp.where(live, dd, jnp.inf)
-        ii = jnp.where(
-            live & (pos >= 0), s2o_padded[jnp.clip(pos, 0, None)], -1
-        )
-        all_d = dd.reshape(p, q_n, top_k).transpose(1, 0, 2).reshape(
-            q_n, p * top_k
-        )
-        all_i = ii.reshape(p, q_n, top_k).transpose(1, 0, 2).reshape(
-            q_n, p * top_k
-        )
+        if kernel_ids:
+            ii = jnp.where(live & (pos >= 0), pos, -1)
+        else:
+            ii = jnp.where(
+                live & (pos >= 0), s2o_padded[jnp.clip(pos, 0, None)], -1
+            )
+        all_d = dd.reshape(q_n, p * top_k)
+        all_i = ii.reshape(q_n, p * top_k)
         return merge_probe_results(all_d, all_i, top_k, dedup=dedup)
 
     q_parts, qbin_parts, orders, lives = [], [], [], []
@@ -992,6 +1005,7 @@ def _pallas_fused_core(
         corpus_padded, rbin_padded, xx_padded,
         top_k=top_k, q_blk=q_blk, chunk=chunk, r_chunks=r_blk // chunk,
         q_pad_rank=q_pad_rank, metric=metric, interpret=interpret,
+        ids_padded=s2o_padded[None, :] if kernel_ids else None,
     )
 
     # per-rank unsort (stride q_pad_rank) + map to original rows + merge
@@ -1006,13 +1020,16 @@ def _pallas_fused_core(
         pos = seg_i[inv]
         live = lives[r]
         out_d.append(jnp.where(live, seg_d[inv], jnp.inf))
-        out_i.append(
-            jnp.where(
-                live & (pos >= 0),
-                s2o_padded[jnp.clip(pos, 0, None)],
-                -1,
+        if kernel_ids:
+            out_i.append(jnp.where(live & (pos >= 0), pos, -1))
+        else:
+            out_i.append(
+                jnp.where(
+                    live & (pos >= 0),
+                    s2o_padded[jnp.clip(pos, 0, None)],
+                    -1,
+                )
             )
-        )
     all_d = jnp.concatenate(out_d, axis=1)
     all_i = jnp.concatenate(out_i, axis=1)
     if p == 1 and all_d.shape[1] == top_k:
@@ -1037,11 +1054,13 @@ def binned_topk_pallas(
     r_blk: int | None = None,
     chunk: int | None = None,
     dedup: bool = True,
+    kernel_ids: bool = False,
 ):
     """Single-dispatch binned search on the Pallas kernel path. Same
     results as `binned_topk_fused` / `binned_topk_shared` (exact top-k;
     tie order may differ). Interpreted (slow) off-TPU — callers should
-    route through an engine choice."""
+    route through an engine choice. ``kernel_ids``: stream original ids
+    through the kernel instead of the epilogue's s2o table gather."""
     from vers_tpu.ops.pallas_binned import padded_group_layout
 
     q_n = queries.shape[0]
@@ -1083,7 +1102,7 @@ def binned_topk_pallas(
         probes_given=probes is not None,
         interpret=jax.default_backend() != "tpu",
         rank_rows=(0,) * p, g_base=padded["g_base"], dedup=dedup,
-        combined=combined,
+        combined=combined, kernel_ids=kernel_ids,
     )
 
 

@@ -155,8 +155,16 @@ def _workitems_blocks(qcounts, rank_off, g_first, q_blk: int,
 
 
 def _kernel(qb_ref, gb_ref, q_ref, qbin_ref, x_ref, rbin_ref, xx_ref,
-            out_d_ref, out_i_ref, best_d, best_i, *, k: int, chunk: int,
-            r_chunks: int, metric: str):
+            *rest, k: int, chunk: int, r_chunks: int, metric: str,
+            has_ids: bool = False):
+    if has_ids:
+        # id-stream mode: a (1, chunk) i32 block of ORIGINAL row ids
+        # rides alongside the corpus chunk, so res_i holds final ids
+        # and the epilogue's (pq, k) s2o table gather disappears
+        ids_ref, out_d_ref, out_i_ref, best_d, best_i = rest
+    else:
+        out_d_ref, out_i_ref, best_d, best_i = rest
+        ids_ref = None
     w = pl.program_id(0)
     j = pl.program_id(1)
     n_w = pl.num_programs(0)
@@ -192,16 +200,22 @@ def _kernel(qb_ref, gb_ref, q_ref, qbin_ref, x_ref, rbin_ref, xx_ref,
     ok = jnp.logical_and(qbins == rbins, qbins >= 0)
     dist = jnp.where(ok, dist, jnp.inf)
 
-    rows = (gb_ref[w] * r_chunks + j) * chunk + jax.lax.broadcasted_iota(
-        jnp.int32, (1, chunk), 1
-    )
+    if has_ids:
+        rows = ids_ref[:]
+    else:
+        rows = (gb_ref[w] * r_chunks + j) * chunk + (
+            jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        )
 
     kth = jnp.max(best_d[:], axis=1, keepdims=True)
     improves = jnp.any(dist < kth)
 
     @pl.when(improves)
     def _merge():
-        new_d, new_i = _merge_topk(best_d[:], best_i[:], dist, rows, k)
+        new_d, new_i = _merge_topk(
+            best_d[:], best_i[:], dist, rows, k,
+            ids=rows if has_ids else None,
+        )
         best_d[:] = new_d
         best_i[:] = new_i
 
@@ -233,31 +247,43 @@ def pallas_packed_scan(
     q_pad_rank: int,
     metric: str = "sq_euclidean",
     interpret: bool = False,
+    ids_padded=None,  # optional (1, G * r_blk) int32 original row ids
 ):
     """Returns (res_d, res_i) over the stacked sorted-query rows
-    (res rows = q_stack rows); positions index the PADDED corpus."""
+    (res rows = q_stack rows); positions index the PADDED corpus —
+    unless ``ids_padded`` is given, in which case res_i holds those ids
+    directly (the per-chunk id block streams through VMEM next to the
+    corpus chunk: 4KB vs the chunk's ~1.2MB, and the epilogue's
+    elementwise (pq, k) s2o gather disappears)."""
     n_rows, d_pad = q_stack.shape
     w_total = qb.shape[0]
+    has_ids = ids_padded is not None
     kernel = functools.partial(
-        _kernel, k=top_k, chunk=chunk, r_chunks=r_chunks, metric=metric
+        _kernel, k=top_k, chunk=chunk, r_chunks=r_chunks, metric=metric,
+        has_ids=has_ids,
     )
+    chunk_spec = pl.BlockSpec(
+        (1, chunk), lambda w, j, qb, gb: (0, gb[w] * r_chunks + j)
+    )
+    in_specs = [
+        pl.BlockSpec((q_blk, d_pad), lambda w, j, qb, gb: (qb[w], 0)),
+        pl.BlockSpec((1, q_blk), lambda w, j, qb, gb: (0, qb[w])),
+        pl.BlockSpec(
+            (chunk, d_pad),
+            lambda w, j, qb, gb: (gb[w] * r_chunks + j, 0),
+        ),
+        chunk_spec,
+        chunk_spec,
+    ]
+    inputs = [qb, gb, q_stack, qbin_stack, corpus_padded, rbin_padded,
+              xx_padded]
+    if has_ids:
+        in_specs.append(chunk_spec)
+        inputs.append(ids_padded)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(w_total, r_chunks),
-        in_specs=[
-            pl.BlockSpec((q_blk, d_pad), lambda w, j, qb, gb: (qb[w], 0)),
-            pl.BlockSpec((1, q_blk), lambda w, j, qb, gb: (0, qb[w])),
-            pl.BlockSpec(
-                (chunk, d_pad),
-                lambda w, j, qb, gb: (gb[w] * r_chunks + j, 0),
-            ),
-            pl.BlockSpec(
-                (1, chunk), lambda w, j, qb, gb: (0, gb[w] * r_chunks + j)
-            ),
-            pl.BlockSpec(
-                (1, chunk), lambda w, j, qb, gb: (0, gb[w] * r_chunks + j)
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((q_blk, top_k), lambda w, j, qb, gb: (qb[w], 0)),
             pl.BlockSpec((q_blk, top_k), lambda w, j, qb, gb: (qb[w], 0)),
@@ -275,5 +301,5 @@ def pallas_packed_scan(
             jax.ShapeDtypeStruct((n_rows, top_k), jnp.int32),
         ],
         interpret=interpret,
-    )(qb, gb, q_stack, qbin_stack, corpus_padded, rbin_padded, xx_padded)
+    )(*inputs)
     return out_d, out_i

@@ -36,10 +36,16 @@ DEFAULT_QUERY_TILE = 256
 DEFAULT_CHUNK = 1024
 
 
-def _merge_topk(best_d, best_i, dist, rows, k: int):
+def _merge_topk(best_d, best_i, dist, rows, k: int, ids=None):
     """Merge a (QT, C) candidate tile into the running (QT, K) best set.
     ``rows`` is (1, C) and AFFINE in the column (``rows[0, 0] + col`` —
     both kernels build it as base + iota). Returns (new_d, new_i).
+
+    ``ids`` (optional, (1, C) int32, arbitrary values): merge these ids
+    instead of the affine rows — the binned kernel's id-stream mode,
+    where the picked id needs a one-hot extraction per pass (the affine
+    trick reads ``base + argmin``). The extraction was measured
+    time-neutral in the flat kernel (2026-08-19 A/B).
 
     Two phases (fori_loops, so VMEM holds one live buffer, not K
     unrolled copies):
@@ -54,7 +60,7 @@ def _merge_topk(best_d, best_i, dist, rows, k: int):
          [best | tile]: carry entries win ties, then lower column.
     """
     qt, _ = dist.shape
-    base = rows[0, 0]
+    base = rows[0, 0] if ids is None else None
     col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
     col_k = jax.lax.broadcasted_iota(jnp.int32, (qt, k), 1)
 
@@ -64,9 +70,13 @@ def _merge_topk(best_d, best_i, dist, rows, k: int):
         m = jnp.min(cand, axis=1)
         at_t = col_k == t  # masked column write (Mosaic has no DUS on values)
         out_d = jnp.where(at_t, m[:, None], out_d)
-        out_i = jnp.where(
-            at_t, (base + am).astype(jnp.int32)[:, None], out_i
-        )
+        if ids is None:
+            picked_i = (base + am).astype(jnp.int32)
+        else:
+            picked_i = jnp.sum(
+                jnp.where(col == am[:, None], ids, 0), axis=1
+            ).astype(jnp.int32)
+        out_i = jnp.where(at_t, picked_i[:, None], out_i)
         cand = jnp.where(col == am[:, None], jnp.inf, cand)
         return cand, out_d, out_i
 
