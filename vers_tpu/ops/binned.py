@@ -1054,13 +1054,17 @@ def binned_topk_pallas(
     r_blk: int | None = None,
     chunk: int | None = None,
     dedup: bool = True,
-    kernel_ids: bool = False,
+    kernel_ids: bool = True,
 ):
     """Single-dispatch binned search on the Pallas kernel path. Same
     results as `binned_topk_fused` / `binned_topk_shared` (exact top-k;
     tie order may differ). Interpreted (slow) off-TPU — callers should
     route through an engine choice. ``kernel_ids``: stream original ids
-    through the kernel instead of the epilogue's s2o table gather."""
+    through the kernel instead of the epilogue's s2o table gather —
+    identical outputs, measured default-on (2026-08-20 A/B, 100k x 300
+    Q=16k: nprobe=1 1.90M -> 2.08M, nprobe=2 1.15M -> 1.29M, nprobe=4
+    816k -> 1.03M qps; the (pq, k) elementwise table gather plus the
+    id epilogue were ~20% of the nprobe=4 batch)."""
     from vers_tpu.ops.pallas_binned import padded_group_layout
 
     q_n = queries.shape[0]

@@ -161,7 +161,7 @@ def _deficit_gate(probes, sizes, num_bins: int, n_probes: int,
     jax.jit,
     static_argnames=(
         "n_probes", "num_bins", "top_k", "q_blk", "r_blk", "chunk",
-        "w_rank", "q_pad_rank", "interpret", "deficit_k",
+        "w_rank", "q_pad_rank", "interpret", "deficit_k", "kernel_ids",
     ),
 )
 def forest_search_shared_pallas(
@@ -183,6 +183,7 @@ def forest_search_shared_pallas(
     q_pad_rank: int,
     interpret: bool,
     deficit_k: int = 0,
+    kernel_ids: bool = True,
 ):
     """ONE-dispatch shared-corpus forest query (Pallas engine): descent
     for all trees, then lax.scan over trees — gather the tree's padded
@@ -221,7 +222,7 @@ def forest_search_shared_pallas(
             rank_rows=(0,) * n_probes, g_base=(0,),
             # one group table per tree -> combined pair sort at p > 1
             # (callers size w_rank for it); trees overlap, keep dedup
-            combined=n_probes > 1,
+            combined=n_probes > 1, kernel_ids=kernel_ids,
         )
         md, mi = merge_probe_results(
             jnp.concatenate([bd, td], axis=1),
