@@ -96,7 +96,14 @@ def enable_compilation_cache(path: str = "/tmp/vers_tpu_jax_cache") -> None:
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # persist EVERYTHING, including sub-second programs: on this
+        # hardware even a trivial compile goes through the remote
+        # compile service, whose queue can block for tens of minutes
+        # behind other tenants' long compiles — a fresh process's first
+        # tiny jit (the tunnel canary!) stalls exactly like a big one.
+        # Observed 2026-08-20: three fresh processes each stalled
+        # 25-40 min at tunnel_canary while cached programs sailed.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass  # older jax without these flags
 
