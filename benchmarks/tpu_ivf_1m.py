@@ -62,6 +62,30 @@ def main():
     _, ti = distance_topk(qd, dev, n, top_k)
     truth = np.asarray(ti)
 
+    # Output-identity check at the 1M shape (VERDICT r4 #2): the r4
+    # in-kernel id stream (kernel_ids=True default) vs the pre-rebuild
+    # s2o-table epilogue, per nprobe on a query subset. r_blk=1024
+    # one-chunk groups interact with k=2048 differently than k=256, so
+    # 100k identity does not imply 1M identity.
+    identity = os.environ.get("IDENTITY", "1") == "1"
+    id_rows = []
+    if identity:
+        from vers_tpu.ops.binned import binned_topk_pallas
+
+        layout = idx._ensure_layout()
+        q_sub = qd[:2048]
+        for p in nprobes:
+            d_new, i_new = binned_topk_pallas(
+                q_sub, idx._centroids_dev, p, layout, top_k=top_k,
+                dedup=False, kernel_ids=True)
+            d_old, i_old = binned_topk_pallas(
+                q_sub, idx._centroids_dev, p, layout, top_k=top_k,
+                dedup=False, kernel_ids=False)
+            same_i = bool(np.array_equal(np.asarray(i_new), np.asarray(i_old)))
+            same_d = bool(np.allclose(np.asarray(d_new), np.asarray(d_old)))
+            log(f"identity nprobe={p}: ids_equal={same_i} d_close={same_d}")
+            id_rows.append(dict(nprobe=p, ids_equal=same_i, d_close=same_d))
+
     results = []
     for p in nprobes:
         fn = lambda p=p: idx.search_batch_device(qd, top_k, nprobe=p)
@@ -76,7 +100,7 @@ def main():
         )
     print(json.dumps(dict(
         config="ivf-1m", n=n, d=d, k=k, q=q_n, build_s=round(build_s, 1),
-        results=results, ts=time.strftime("%Y-%m-%d"),
+        results=results, identity=id_rows, ts=time.strftime("%Y-%m-%d"),
     )), flush=True)
 
 

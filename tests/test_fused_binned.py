@@ -184,7 +184,7 @@ def test_adaptive_probes_sentinel_and_depth():
 
 def test_deficit_gate_tree_major():
     import jax.numpy as jnp
-    from vers_tpu.index.lsh import _deficit_gate
+    from vers_tpu.ops.forest_shared import _deficit_gate
 
     num_bins = 6
     sizes = jnp.asarray(np.array([4, 4, 4, 50, 50, 50], np.int32))

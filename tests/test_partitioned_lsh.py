@@ -39,11 +39,12 @@ def built(mesh, corpus):
 def test_capacity_partitioned(built, mesh, corpus):
     cache = built._ensure_device_cache()
     n_shards = mesh.shape[SHARD_AXIS]
-    # each shard's forest covers only its ~n/S rows (stacked x T trees)
-    assert cache["pern"] <= corpus.shape[0] // n_shards
+    # shared-corpus layout (VERDICT r4 #1): each chip holds its ~n/S
+    # corpus rows exactly ONCE (128-row padded), NOT stacked x T trees
+    assert cache["pern"] <= -(-corpus.shape[0] // n_shards // 128) * 128
     shard_shapes = {s.data.shape for s in cache["corpus"].addressable_shards}
     assert len(shard_shapes) == 1
-    assert next(iter(shard_shapes))[0] == cache["per"]
+    assert next(iter(shard_shapes))[0] == cache["pern"]
     assert all(len(s._ids) == 200 for s in built.shards)
 
 

@@ -51,63 +51,7 @@ from vers_tpu.index.base import Index
 from vers_tpu.io.bincode import Reader, Writer
 from vers_tpu.models.candidates import SearchResult
 from vers_tpu.ops import rpforest
-from vers_tpu.ops.binned import (
-    fused_binned_search,
-    make_layout,
-)
 from vers_tpu.ops.pallas_topk import MAX_PALLAS_K
-import functools
-
-
-def _deficit_gate(probes, sizes, num_bins: int, n_probes: int,
-                  deficit_k: int):
-    """Size-aware probe gating — the batched analogue of the
-    reference's deficit/backup rule (`lsh.rs:203-214`): within each
-    tree's probe ranks (tree-major), a rank stays active only while the
-    cumulative min(leaf_size, k) of the ranks before it is still short
-    of k. Gated ranks park on the sentinel bin ``num_bins`` which the
-    packed scan's bin-equality mask (and dropped-OOB scatter counts)
-    ignore."""
-    q_n = probes.shape[0]
-    contrib = jnp.minimum(sizes[probes], deficit_k)
-    c = contrib.reshape(q_n, -1, n_probes)  # (Q, T, P) tree-major
-    before = jnp.cumsum(c, axis=2) - c  # exclusive
-    active = (before < deficit_k).reshape(q_n, -1)
-    return jnp.where(active, probes, num_bins)
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "n_probes", "num_bins", "top_k", "q_blk", "r_blk", "w_rank",
-        "use_approx", "rank_rows", "deficit_k",
-    ),
-)
-def _forest_search(
-    queries, coeffs, consts, splits, buckets, offsets, sizes,
-    corpus_sorted, rbin, sorted_to_orig, g_first, g_rstart,
-    n_probes: int, num_bins: int, top_k: int, q_blk: int, r_blk: int,
-    w_rank: int, use_approx: bool, rank_rows: tuple, deficit_k: int = 0,
-):
-    """ONE dispatch for the whole forest query: multiprobe descent
-    through every tree + packed binned scan + merge (the jitted callees
-    inline). Replaces the reference's rayon tree recursion + DashSet
-    union (`lsh.rs:264-281`) with a single compiled program. Group
-    tables are per tree (`rank_rows` maps each probe rank to its tree)
-    so w_rank scales with one tree's groups, not the whole forest's."""
-    probes = rpforest.descend_forest(
-        queries, coeffs, consts, splits, buckets, offsets,
-        n_probes=n_probes,
-    )
-    if deficit_k:
-        probes = _deficit_gate(probes, sizes, num_bins, n_probes, deficit_k)
-    return fused_binned_search(
-        queries, probes, corpus_sorted, rbin, sorted_to_orig,
-        g_first, g_rstart, num_bins=num_bins, nprobe=probes.shape[1],
-        top_k=top_k, q_blk=q_blk, r_blk=r_blk, w_rank=w_rank,
-        metric="sq_euclidean", use_approx=use_approx,
-        probes_given=True, rank_rows=rank_rows,
-    )
 
 
 class _Tree:
@@ -144,7 +88,6 @@ class ANNIndex(Index):
         self._ids = np.asarray(ids, dtype=np.int64)
         self.dim = self._values.shape[1]
         self._dirty_trees: set = set()
-        self._combined = None  # stacked-forest device state (sharded layers)
         self._shared = None    # shared-corpus device state (single chip)
 
     def _stacked_descent_tables(self):
@@ -166,74 +109,6 @@ class ANNIndex(Index):
             splits[i, :l, :sc] = t.split
             buckets[i, :l, :sc] = t.bucket
         return coeffs, consts, splits, buckets
-
-    def _combined_host_arrays(self) -> dict:
-        """Host-side (numpy) assembly of the STACKED-forest state: all
-        trees' leaf partitions stacked into ONE bin-major layout (bins =
-        (tree, leaf) pairs) plus stacked level tables — T corpus copies.
-        Used by the sharded/partitioned layers (`parallel/lsh`,
-        `parallel/lsh_partitioned`), where each shard's slice is small.
-        The single-chip search path uses `_ensure_shared` instead (ONE
-        corpus copy — reference memory parity, `lsh.rs:44,53`)."""
-        layouts = [make_layout(self._values, t.leaf_of_vec, max(t.num_buckets, 1))
-                   for t in self._trees]
-        corpus = np.concatenate([np.asarray(l["corpus_sorted"]) for l in layouts])
-        s2o = np.concatenate([np.asarray(l["sorted_to_orig"]) for l in layouts])
-        rbins, sizes, starts = [], [], []
-        offsets = []
-        bin_off = 0
-        row_off = 0
-        for t, l in zip(self._trees, layouts):
-            rb = np.asarray(l["rbin"]).copy()
-            rb[rb >= 0] += bin_off
-            rbins.append(rb)
-            sizes.append(l["sizes_host"])
-            starts.append(l["starts_host"] + row_off)
-            offsets.append(bin_off)
-            bin_off += max(t.num_buckets, 1)
-            row_off += np.asarray(l["corpus_sorted"]).shape[0]
-        coeffs, consts, splits, buckets = self._stacked_descent_tables()
-        return dict(
-            corpus=corpus,
-            s2o=s2o,
-            rbin=np.concatenate(rbins),
-            sizes_host=np.concatenate(sizes).astype(np.int64),
-            starts_host=np.concatenate(starts).astype(np.int64),
-            max_bin=max(l["max_bin"] for l in layouts),
-            num_bins=bin_off,
-            coeffs=coeffs,
-            consts=consts,
-            splits=splits,
-            buckets=buckets,
-            offsets=np.asarray(offsets, np.int32),
-            bin_bounds=np.asarray(offsets + [bin_off], np.int64),
-        )
-
-    def _ensure_combined(self):
-        """Combined device state (see `_combined_host_arrays`)."""
-        if self._combined is not None:
-            return self._combined
-        g = self._combined_host_arrays()
-        combined_layout = dict(
-            corpus_sorted=to_device(g["corpus"]),
-            sorted_to_orig=jnp.asarray(g["s2o"]),
-            rbin=jnp.asarray(g["rbin"]),
-            sizes_host=g["sizes_host"],
-            starts_host=g["starts_host"],
-            max_bin=g["max_bin"],
-            num_bins=g["num_bins"],
-            sizes_dev=jnp.asarray(g["sizes_host"].astype(np.int32)),
-        )
-        self._combined = dict(
-            layout=combined_layout,
-            coeffs=jnp.asarray(g["coeffs"]),
-            consts=jnp.asarray(g["consts"]),
-            splits=jnp.asarray(g["splits"]),
-            buckets=jnp.asarray(g["buckets"]),
-            offsets=jnp.asarray(g["offsets"]),
-            bin_bounds=g["bin_bounds"],
-        )
-        return self._combined
 
     def _max_bin(self) -> int:
         return max(
@@ -359,7 +234,6 @@ class ANNIndex(Index):
                     # tables (loaded/degenerate tree) — lazy whole-tree
                     # rebuild restores the invariant
                     self._dirty_trees.add(t)
-        self._combined = None
         self._shared = None  # values grew: corpus re-uploads too
 
     def _descend_host_pos(self, tree: _Tree, q: np.ndarray):
@@ -487,7 +361,6 @@ class ANNIndex(Index):
                 np.asarray(tables.leaf_of_vec)[:n], int(tables.num_buckets),
             )
         self._dirty_trees.clear()
-        self._combined = None
         if self._shared is not None:
             # trees changed, values did not: rebuild the index tables
             # on next search but keep the uploaded corpus
@@ -585,6 +458,61 @@ class ANNIndex(Index):
             depth = max(depth, adaptive_probe_depth(sizes, top_k))
         return min(depth, 8)
 
+    def _shared_engine(self, top_k: int) -> str:
+        """Engine rule for the shared-corpus path (shared with the
+        sharded serving layer): Pallas packed scan on TPU for small k,
+        XLA fused scan otherwise."""
+        engine = self.config.engine
+        if engine == "auto":
+            engine = (
+                "pallas"
+                if jax.default_backend() == "tpu" and top_k <= MAX_PALLAS_K
+                else "xla"
+            )
+        return engine
+
+    def _shared_plan(self, q_n: int, top_k: int, n_probes: int,
+                     engine: str):
+        """Shared-corpus device state + static tile plan for a
+        per-program query count ``q_n`` (the query-sharded layer passes
+        its PER-CHIP count, `parallel/lsh.ShardedANNIndex`). Returns
+        (shared state dict, statics dict) for
+        `ops.forest_shared.forest_search_shared_{pallas,xla}`."""
+        max_bin = self._max_bin()
+        n = self._values.shape[0]
+        n_pad = round_up(max(n, 1), 128)
+        if engine == "pallas":
+            chunk = 1024
+            r_blk = round_up(max(1024, max_bin, top_k), chunk)
+            sh = self._ensure_shared(r_blk)
+            q_blk = 128 if jax.default_backend() == "tpu" else 64
+            q_pad_rank = round_up(q_n, q_blk)
+            # p>1 uses the combined (query, rank) pair sort per tree
+            # (ops/binned._pallas_fused_core): blocks scale with p
+            blocks = (
+                n_probes * q_pad_rank if n_probes > 1 else q_pad_rank
+            ) // q_blk
+            w_rank = blocks + sh["g_max"] + 1
+            return sh, dict(
+                q_blk=q_blk, r_blk=r_blk, chunk=chunk, w_rank=w_rank,
+                q_pad_rank=q_pad_rank,
+                interpret=jax.default_backend() != "tpu",
+            )
+        # per-tree tile targets (the stacked path's forest plan,
+        # re-derived for one tree spanning all n rows)
+        r_target = max(max_bin, top_k, min(8192, max(1024, n // 16)))
+        r_blk = min(round_up(r_target, 128), n_pad)
+        sh = self._ensure_shared(r_blk)
+        q_blk = min(
+            round_up(max(64, q_n // max(sh["g_total"], 1) * 2), 64),
+            round_up(q_n, 8),
+        )
+        w_rank = (q_n + q_blk - 1) // q_blk + sh["g_max"]
+        return sh, dict(
+            q_blk=q_blk, r_blk=r_blk, w_rank=w_rank,
+            use_approx=jax.default_backend() == "tpu",
+        )
+
     def _search_batch_internal(
         self, queries, top_k: int, probes_per_tree: Optional[int] = None
     ):
@@ -602,65 +530,31 @@ class ANNIndex(Index):
         else:
             n_probes = max(1, probes_per_tree)
             deficit_k = 0
-        engine = self.config.engine
-        if engine == "auto":
-            engine = (
-                "pallas"
-                if jax.default_backend() == "tpu" and top_k <= MAX_PALLAS_K
-                else "xla"
-            )
-        max_bin = self._max_bin()
-        n = self._values.shape[0]
-        n_pad = round_up(max(n, 1), 128)
+        engine = self._shared_engine(top_k)
+        sh, plan = self._shared_plan(q_n, top_k, n_probes, engine)
         if engine == "pallas":
             from vers_tpu.ops.forest_shared import (
                 forest_search_shared_pallas,
             )
 
-            chunk = 1024
-            r_blk = round_up(max(1024, max_bin, top_k), chunk)
-            sh = self._ensure_shared(r_blk)
-            q_blk = 128 if jax.default_backend() == "tpu" else 64
-            q_pad_rank = round_up(q_n, q_blk)
-            # p>1 uses the combined (query, rank) pair sort per tree
-            # (ops/binned._pallas_fused_core): blocks scale with p
-            blocks = (
-                n_probes * q_pad_rank if n_probes > 1 else q_pad_rank
-            ) // q_blk
-            w_rank = blocks + sh["g_max"] + 1
             dists, internal = forest_search_shared_pallas(
                 qdev, sh["coeffs"], sh["consts"], sh["splits"],
                 sh["buckets"], sh["offsets"], sh["sizes_dev"],
                 sh["corpus_pad"], sh["xx"], sh["src"], sh["rbin"],
                 sh["g_first"],
                 n_probes=n_probes, num_bins=sh["num_bins"], top_k=top_k,
-                q_blk=q_blk, r_blk=r_blk, chunk=chunk, w_rank=w_rank,
-                q_pad_rank=q_pad_rank,
-                interpret=jax.default_backend() != "tpu",
-                deficit_k=deficit_k,
+                deficit_k=deficit_k, **plan,
             )
         else:
             from vers_tpu.ops.forest_shared import forest_search_shared_xla
 
-            # per-tree tile targets (the stacked path's forest plan,
-            # re-derived for one tree spanning all n rows)
-            r_target = max(max_bin, top_k, min(8192, max(1024, n // 16)))
-            r_blk = min(round_up(r_target, 128), n_pad)
-            sh = self._ensure_shared(r_blk)
-            q_blk = min(
-                round_up(max(64, q_n // max(sh["g_total"], 1) * 2), 64),
-                round_up(q_n, 8),
-            )
-            w_rank = (q_n + q_blk - 1) // q_blk + sh["g_max"]
             dists, internal = forest_search_shared_xla(
                 qdev, sh["coeffs"], sh["consts"], sh["splits"],
                 sh["buckets"], sh["offsets"], sh["sizes_dev"],
                 sh["corpus_pad"], sh["order"], sh["rbin_sorted"],
                 sh["g_first"], sh["g_rstart"],
                 n_probes=n_probes, num_bins=sh["num_bins"], top_k=top_k,
-                q_blk=q_blk, r_blk=r_blk, w_rank=w_rank,
-                use_approx=jax.default_backend() == "tpu",
-                deficit_k=deficit_k,
+                deficit_k=deficit_k, **plan,
             )
         return dists, internal
 

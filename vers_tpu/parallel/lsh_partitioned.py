@@ -7,18 +7,26 @@ the CAPACITY axis the same way `parallel/hnsw_partitioned` does for the
 graph: corpus rows split into contiguous blocks, one independent forest
 per shard over its local rows, so per-chip state is ~1/n_shards.
 
-Query = ONE program: the query batch replicates, every shard runs the
-same single-dispatch fused forest search as the single-chip path
-(multiprobe descent + packed binned scan + merge,
-`index/lsh._forest_search`) over its LOCAL stacked layout, local result
-rows offset into global padded rows, and the k·n_shards candidates
-all_gather (implicit at the shard_map boundary) into one final top-k.
-Shards cover disjoint rows, so the merge needs no dedup.
+Each shard's local search runs on the SHARED-corpus layout
+(`ops/forest_shared`, the reference's own memory shape `lsh.rs:44,53`):
+the shard's corpus block lives on its chip exactly ONCE, trees hold
+int32 index tables, and the per-tree bin-major view is gathered inside
+a lax.scan (one tree live at a time). Per-chip HBM is therefore
+~n/S corpus rows + one gathered tree view — NOT the stacked layout's
+~2·T corpus copies (see docs/MULTICHIP.md for the 1M x 300 math).
 
-The per-shard tile plans unify to common statics (q_blk / r_blk /
-w_rank / num_bins maxima across shards; per-shard group tables pad by
-repeating their last bin boundary — zero queries, zero tiles) so one
-compiled program serves every shard.
+Query = ONE program: the query batch replicates, every shard runs the
+same single-dispatch shared-corpus forest search as the single-chip
+path (multiprobe descent + lax.scan over trees + dedup merge,
+`ops/forest_shared.forest_search_shared_*`) over its LOCAL tables,
+local result rows offset into global padded rows, and the k·n_shards
+candidates all_gather (implicit at the shard_map boundary) into one
+final top-k. Shards cover disjoint rows, so the merge needs no dedup.
+
+The per-shard tables unify to common statics (r_blk / G_max / num_bins
+maxima across shards; group tables pad by repeating their last bin
+boundary — zero bins, zero tiles) so one compiled program serves every
+shard.
 """
 
 from __future__ import annotations
@@ -34,8 +42,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from vers_tpu.core import device_id_map, round_up
-from vers_tpu.index.lsh import ANNIndex, _forest_search
-from vers_tpu.ops.binned import stack_group_tables, static_groups
+from vers_tpu.index.lsh import ANNIndex
 from vers_tpu.ops.topk import topk_smallest
 from vers_tpu.parallel.mesh import SHARD_AXIS, make_mesh
 from vers_tpu.parallel.partitioned import PartitionedIndexBase
@@ -44,57 +51,69 @@ from vers_tpu.parallel.partitioned import PartitionedIndexBase
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "mesh", "n_probes", "num_bins", "top_k", "q_blk", "r_blk",
-        "w_rank", "use_approx", "rank_rows", "deficit_k", "pern",
+        "mesh", "engine", "n_probes", "num_bins", "top_k", "pern",
+        "deficit_k", "plan",
     ),
 )
-def _partitioned_forest_search(
+def _partitioned_forest_search_shared(
     queries,    # (Q, d) replicated
     coeffs,     # (S, T, L, TC, d) row-sharded on axis 0
     consts,     # (S, T, L, TC)
     splits,     # (S, T, L, SC)
     buckets,    # (S, T, L, SC)
     offsets,    # (S, T)
-    sizes,      # (S*kb,) int32
-    corpus,     # (S*per, d) bin-major per shard
-    rbin,       # (S*per,)
-    s2o,        # (S*per,) local original rows
+    sizes,      # (S, kb) int32 leaf sizes (deficit gate)
+    corpus,     # (S*pern, d_pad) ONE corpus copy per shard
+    xx,         # (S*pern,) squared norms
+    t_a,        # pallas: src (S, T, G*r_blk) | xla: order (S, T, pern)
+    t_b,        # pallas: rbin (S, T, G*r_blk) | xla: rbin_sorted
     g_first,    # (S, T, G+1)
-    g_rstart,   # (S, T, G)
+    g_rstart,   # (S, T, G) (xla only; zeros for pallas)
     mesh,
+    engine: str,
     n_probes: int,
     num_bins: int,
     top_k: int,
-    q_blk: int,
-    r_blk: int,
-    w_rank: int,
-    use_approx: bool,
-    rank_rows: tuple,
-    deficit_k: int,
     pern: int,
+    deficit_k: int,
+    plan: tuple,   # sorted (key, value) statics for the local program
 ):
-    def local(q, cf, cn, sp, bk, of, sz, co, rb, so, gf, gr):
-        d, internal = _forest_search(
-            q, cf[0], cn[0], sp[0], bk[0], of[0], sz, co, rb, so,
-            gf[0], gr[0],
-            n_probes=n_probes, num_bins=num_bins, top_k=top_k,
-            q_blk=q_blk, r_blk=r_blk, w_rank=w_rank,
-            use_approx=use_approx, rank_rows=rank_rows,
-            deficit_k=deficit_k,
-        )
+    plan_kw = dict(plan)
+
+    def local(q, cf, cn, sp, bk, of, sz, co, x2, ta, tb, gf, gr):
+        if engine == "pallas":
+            from vers_tpu.ops.forest_shared import (
+                forest_search_shared_pallas,
+            )
+
+            d, internal = forest_search_shared_pallas(
+                q, cf[0], cn[0], sp[0], bk[0], of[0], sz[0], co, x2,
+                ta[0], tb[0], gf[0],
+                n_probes=n_probes, num_bins=num_bins, top_k=top_k,
+                deficit_k=deficit_k, **plan_kw,
+            )
+        else:
+            from vers_tpu.ops.forest_shared import forest_search_shared_xla
+
+            d, internal = forest_search_shared_xla(
+                q, cf[0], cn[0], sp[0], bk[0], of[0], sz[0], co,
+                ta[0], tb[0], gf[0], gr[0],
+                n_probes=n_probes, num_bins=num_bins, top_k=top_k,
+                deficit_k=deficit_k, **plan_kw,
+            )
         off = jax.lax.axis_index(SHARD_AXIS).astype(jnp.int32) * pern
         return d, jnp.where(internal >= 0, internal + off, -1)
 
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(),) + (P(SHARD_AXIS),) * 11,
+        in_specs=(P(),) + (P(SHARD_AXIS),) * 12,
         out_specs=(P(None, SHARD_AXIS), P(None, SHARD_AXIS)),
         check_vma=False,
     )
     all_d, all_i = fn(
         queries, coeffs, consts, splits, buckets, offsets, sizes,
-        corpus, rbin, s2o, g_first, g_rstart,
+        corpus, xx, t_a, t_b, g_first, g_rstart,
     )
     fin_d, sel = topk_smallest(all_d, top_k)
     fin_i = jnp.take_along_axis(all_i, sel, axis=1)
@@ -109,10 +128,9 @@ class PartitionedANNIndex(PartitionedIndexBase):
     ordinals to external ids.
 
     Adds always invalidate the assembled cache (base default): a
-    leaf-split rewrites the shard's tree tables and bin-major corpus
-    order, so there is no cheap row-scatter patch — and re-assembly is
-    host-side only (forest shards keep host `_values`; nothing is
-    downloaded).
+    leaf-split rewrites the shard's tree tables, so there is no cheap
+    row-scatter patch — and re-assembly is host-side only (forest
+    shards keep host `_values`; nothing is downloaded).
     """
 
     _manifest_format = "vers_tpu.partitioned_lsh.v1"
@@ -120,7 +138,6 @@ class PartitionedANNIndex(PartitionedIndexBase):
 
     def __init__(self, shards, gids=None, mesh=None):
         super().__init__(shards, gids=gids, mesh=mesh)
-        self._plans = {}
 
     @staticmethod
     def _shard_rows(shard) -> int:
@@ -163,60 +180,57 @@ class PartitionedANNIndex(PartitionedIndexBase):
     # -- device cache ------------------------------------------------------
 
     def _ensure_device_cache(self):
+        """Engine-independent state: descent tables, ONE corpus copy per
+        shard (row-sharded), squared norms, id maps. The per-tree index
+        tables are engine/r_blk-dependent and built by `_tables`."""
         if self._device_cache is not None:
             return self._device_cache
         for s in self.shards:
             s._rebuild_dirty()
         n_shards = self.mesh.shape[SHARD_AXIS]
-        gs = [s._combined_host_arrays() for s in self.shards]
-        T = gs[0]["coeffs"].shape[0]
-        if any(g["coeffs"].shape[0] != T for g in gs):
+        trees = [s._trees for s in self.shards]
+        T = len(trees[0])
+        if any(len(t) != T for t in trees):
             raise ValueError("all shards must share num_trees")
-        L = max(g["coeffs"].shape[1] for g in gs)
-        TC = max(g["coeffs"].shape[2] for g in gs)
-        SC = max(g["splits"].shape[2] for g in gs)
-        kb = max(g["num_bins"] for g in gs)
-        per = round_up(max(g["corpus"].shape[0] for g in gs), 8)
-        pern = max(s._values.shape[0] for s in self.shards)
+        L = max(t.coeff.shape[0] for ts in trees for t in ts)
+        TC = max(t.coeff.shape[1] for ts in trees for t in ts)
+        SC = max(t.split.shape[1] for ts in trees for t in ts)
+        kb = max(
+            sum(t.num_buckets for t in ts) for ts in trees
+        )
         d = self.dim
+        d_pad = round_up(d, 128)
+        pern = round_up(
+            max(s._values.shape[0] for s in self.shards), 128
+        )
 
         coeffs = np.zeros((n_shards, T, L, TC, d), np.float32)
         consts = np.zeros((n_shards, T, L, TC), np.float32)
         splits = np.full((n_shards, T, L, SC), -1, np.int32)
         buckets = np.full((n_shards, T, L, SC), -1, np.int32)
         offsets = np.zeros((n_shards, T), np.int32)
-        sizes = np.zeros((n_shards * kb,), np.int32)
-        corpus = np.zeros((n_shards * per, d), np.float32)
-        rbin = np.full((n_shards * per,), -1, np.int32)
-        s2o = np.full((n_shards * per,), -1, np.int32)
+        sizes = np.zeros((n_shards, kb), np.int32)
+        corpus = np.zeros((n_shards * pern, d_pad), np.float32)
         row_to_gid = np.full((n_shards * pern,), -1, np.int64)
-        host_layouts = []
-        for s, g in enumerate(gs):
-            _, l, tc, _ = g["coeffs"].shape
-            sc = g["splits"].shape[2]
-            coeffs[s, :, :l, :tc] = g["coeffs"]
-            consts[s, :, :l, :tc] = g["consts"]
-            splits[s, :, :l, :sc] = g["splits"]
-            buckets[s, :, :l, :sc] = g["buckets"]
-            offsets[s] = g["offsets"]
-            sizes[s * kb : s * kb + g["num_bins"]] = g["sizes_host"]
-            rows = g["corpus"].shape[0]
-            corpus[s * per : s * per + rows] = g["corpus"]
-            rbin[s * per : s * per + rows] = g["rbin"]
-            s2o[s * per : s * per + rows] = g["s2o"]
-            ids = self.shards[s]._ids  # internal row -> local ordinal
-            row_to_gid[s * pern : s * pern + len(ids)] = self.gids[s][ids]
-            host_layouts.append(
-                dict(
-                    sizes_host=g["sizes_host"],
-                    starts_host=g["starts_host"],
-                    max_bin=g["max_bin"],
-                    num_bins=g["num_bins"],
-                    bin_bounds=g["bin_bounds"],
-                    n_rows=rows,
-                    n_values=self.shards[s]._values.shape[0],
-                )
-            )
+        for s, shard in enumerate(self.shards):
+            cf, cn, sp, bk = shard._stacked_descent_tables()
+            _, l, tc, _ = cf.shape
+            sc = sp.shape[2]
+            coeffs[s, :, :l, :tc] = cf
+            consts[s, :, :l, :tc] = cn
+            splits[s, :, :l, :sc] = sp
+            buckets[s, :, :l, :sc] = bk
+            off = 0
+            for t, tr in enumerate(shard._trees):
+                offsets[s, t] = off
+                for b, m in enumerate(tr.members):
+                    sizes[s, off + b] = len(m)
+                off += tr.num_buckets
+            rows = shard._values.shape[0]
+            corpus[s * pern : s * pern + rows, :d] = shard._values
+            ids = shard._ids  # internal row -> local input ordinal
+            row_to_gid[s * pern : s * pern + rows] = self.gids[s][ids]
+        xx = np.einsum("nd,nd->n", corpus, corpus)
 
         sh = NamedSharding(self.mesh, P(SHARD_AXIS))
         self._device_cache = dict(
@@ -227,72 +241,95 @@ class PartitionedANNIndex(PartitionedIndexBase):
             offsets=jax.device_put(offsets, sh),
             sizes=jax.device_put(sizes, sh),
             corpus=jax.device_put(corpus, sh),
-            rbin=jax.device_put(rbin, sh),
-            s2o=jax.device_put(s2o, sh),
-            per=per,
+            xx=jax.device_put(xx.astype(np.float32), sh),
             pern=pern,
             kb=kb,
             T=T,
-            host_layouts=host_layouts,
+            tables={},   # (engine, r_blk) -> stacked shared tree tables
             row_to_gid=row_to_gid,
             row_to_gid_dev=device_id_map(row_to_gid),
         )
-        self._plans = {}
         return self._device_cache
 
-    def _plan(self, q_n: int, top_k: int, n_probes: int):
-        """Unified tile plan across shards (statics = maxima; per-shard
-        group tables pad by repeating their last bin boundary)."""
+    def _unified_r_blk(self, engine: str, top_k: int) -> int:
+        """One r_blk across shards (statics must agree): each shard's
+        natural single-chip target, unified by max."""
         cache = self._ensure_device_cache()
-        key = (q_n, top_k, n_probes)
-        if key in self._plans:
-            return self._plans[key]
+        r_blk = 128
+        for s in self.shards:
+            max_bin = s._max_bin()
+            n = s._values.shape[0]
+            n_pad = round_up(max(n, 1), 128)
+            if engine == "pallas":
+                r_blk = max(
+                    r_blk, round_up(max(1024, max_bin, top_k), 1024)
+                )
+            else:
+                r_target = max(
+                    max_bin, top_k, min(8192, max(1024, n // 16))
+                )
+                r_blk = max(r_blk, min(round_up(r_target, 128), n_pad))
+        return r_blk
+
+    def _tables(self, engine: str, top_k: int):
+        """Per-shard shared-corpus tree tables (`ops/forest_shared.
+        shared_tree_tables`), stacked over shards and padded to common
+        statics, device-put row-sharded. Cached per (engine, r_blk)."""
+        from vers_tpu.ops.forest_shared import shared_tree_tables
+
+        cache = self._ensure_device_cache()
+        r_blk = self._unified_r_blk(engine, top_k)
+        key = (engine, r_blk)
+        if key in cache["tables"]:
+            return cache["tables"][key]
         n_shards = len(self.shards)
         T = cache["T"]
-        # r_blk: each shard's natural target, unified by max
-        r_blk = 128
-        for hl in cache["host_layouts"]:
-            n_tree = max(int(hl["sizes_host"].sum()) // max(T, 1), 1)
-            r_target = max(
-                hl["max_bin"], top_k, min(8192, max(1024, n_tree // 16))
+        pern = cache["pern"]
+        ts = [
+            shared_tree_tables(
+                [tr.leaf_of_vec for tr in s._trees],
+                [tr.num_buckets for tr in s._trees],
+                r_blk,
             )
-            r_blk = max(r_blk, min(round_up(r_target, 128), cache["per"]))
-        tables_per_shard = []
-        g_total_min = None
-        g_max = 1
-        for hl in cache["host_layouts"]:
-            tables = [
-                static_groups(hl, r_blk, int(hl["bin_bounds"][t]),
-                              int(hl["bin_bounds"][t + 1]))
-                for t in range(T)
-            ]
-            tables_per_shard.append(tables)
-            g_tot = sum(len(r) for _, r in tables)
-            g_total_min = g_tot if g_total_min is None else min(g_total_min, g_tot)
-            g_max = max(g_max, max(len(r) for _, r in tables))
-        # q_blk sized by the busiest (fewest-groups) shard, uniform
-        q_blk = min(
-            round_up(max(64, q_n // max(g_total_min, 1) * 2), 64),
-            round_up(q_n, 8),
-        )
-        w_rank = (q_n + q_blk - 1) // q_blk + g_max
-        # stack per-shard (T, G+1) tables padded to the global G
-        gf = np.zeros((n_shards, T, g_max + 1), np.int32)
-        gr = np.zeros((n_shards, T, g_max), np.int32)
-        for s, tables in enumerate(tables_per_shard):
-            f, r = stack_group_tables(tables)
-            gf[s, :, : f.shape[1]] = f
-            gf[s, :, f.shape[1] :] = f[:, -1:]
-            gr[s, :, : r.shape[1]] = r
+            for s in self.shards
+        ]
+        g_max = max(t["g_max"] for t in ts)
+        g_total_min = min(t["g_total"] for t in ts)
+        src = np.full((n_shards, T, g_max * r_blk), -1, np.int32)
+        rbin = np.full((n_shards, T, g_max * r_blk), -1, np.int32)
+        order = np.full((n_shards, T, pern), -1, np.int32)
+        rbin_sorted = np.full((n_shards, T, pern), -1, np.int32)
+        g_first = np.zeros((n_shards, T, g_max + 1), np.int32)
+        g_rstart = np.zeros((n_shards, T, g_max), np.int32)
+        for s, t in enumerate(ts):
+            w = t["src"].shape[1]
+            src[s, :, :w] = t["src"]
+            rbin[s, :, :w] = t["rbin"]
+            np_s = t["order"].shape[1]
+            order[s, :, :np_s] = t["order"]
+            rbin_sorted[s, :, :np_s] = t["rbin_sorted"]
+            gw = t["g_first"].shape[1]
+            g_first[s, :, :gw] = t["g_first"]
+            g_first[s, :, gw:] = t["g_first"][:, -1:]
+            g_rstart[s, :, : t["g_rstart"].shape[1]] = t["g_rstart"]
         sh = NamedSharding(self.mesh, P(SHARD_AXIS))
-        plan = dict(
-            q_blk=q_blk, r_blk=r_blk, w_rank=w_rank,
-            rank_rows=tuple(t for t in range(T) for _ in range(n_probes)),
-            g_first=jax.device_put(gf, sh),
-            g_rstart=jax.device_put(gr, sh),
+        if engine == "pallas":
+            t_a = jax.device_put(src, sh)
+            t_b = jax.device_put(rbin, sh)
+            g_r = jax.device_put(
+                np.zeros((n_shards, T, g_max), np.int32), sh
+            )
+        else:
+            t_a = jax.device_put(order, sh)
+            t_b = jax.device_put(rbin_sorted, sh)
+            g_r = jax.device_put(g_rstart, sh)
+        out = dict(
+            r_blk=r_blk, g_max=g_max, g_total_min=g_total_min,
+            t_a=t_a, t_b=t_b,
+            g_first=jax.device_put(g_first, sh), g_rstart=g_r,
         )
-        self._plans[key] = plan
-        return plan
+        cache["tables"][key] = out
+        return out
 
     # -- Index API -----------------------------------------------------------
 
@@ -310,20 +347,48 @@ class PartitionedANNIndex(PartitionedIndexBase):
         else:
             n_probes = max(1, probes_per_tree)
             deficit_k = 0
-        plan = self._plan(q_n, top_k, n_probes)
-        bd, bi = _partitioned_forest_search(
-            jnp.asarray(q),
+        engine = self.shards[0]._shared_engine(top_k)
+        tbl = self._tables(engine, top_k)
+        if engine == "pallas":
+            chunk = 1024
+            q_blk = 128 if jax.default_backend() == "tpu" else 64
+            q_pad_rank = round_up(q_n, q_blk)
+            blocks = (
+                n_probes * q_pad_rank if n_probes > 1 else q_pad_rank
+            ) // q_blk
+            plan = dict(
+                q_blk=q_blk, r_blk=tbl["r_blk"], chunk=chunk,
+                w_rank=blocks + tbl["g_max"] + 1,
+                q_pad_rank=q_pad_rank,
+                interpret=jax.default_backend() != "tpu",
+            )
+            qdev = jnp.asarray(q)
+        else:
+            q_blk = min(
+                round_up(
+                    max(64, q_n // max(tbl["g_total_min"], 1) * 2), 64
+                ),
+                round_up(q_n, 8),
+            )
+            plan = dict(
+                q_blk=q_blk, r_blk=tbl["r_blk"],
+                w_rank=(q_n + q_blk - 1) // q_blk + tbl["g_max"],
+                use_approx=jax.default_backend() == "tpu",
+            )
+            # the xla scan tiles slice the col-padded corpus; pad the
+            # queries to match (zero cols contribute nothing) — the
+            # jitted callee pads too, but padding here keeps the
+            # replicated operand's shape stable across d
+            qdev = jnp.asarray(q)
+        bd, bi = _partitioned_forest_search_shared(
+            qdev,
             cache["coeffs"], cache["consts"], cache["splits"],
             cache["buckets"], cache["offsets"], cache["sizes"],
-            cache["corpus"], cache["rbin"], cache["s2o"],
-            plan["g_first"], plan["g_rstart"],
+            cache["corpus"], cache["xx"],
+            tbl["t_a"], tbl["t_b"], tbl["g_first"], tbl["g_rstart"],
             self.mesh,
-            n_probes=n_probes, num_bins=cache["kb"], top_k=top_k,
-            q_blk=plan["q_blk"], r_blk=plan["r_blk"],
-            w_rank=plan["w_rank"],
-            use_approx=jax.default_backend() == "tpu",
-            rank_rows=plan["rank_rows"], deficit_k=deficit_k,
-            pern=cache["pern"],
+            engine=engine, n_probes=n_probes, num_bins=cache["kb"],
+            top_k=top_k, pern=cache["pern"], deficit_k=deficit_k,
+            plan=tuple(sorted(plan.items())),
         )
         return bd, bi
-
