@@ -72,7 +72,7 @@ def main():
     import jax.numpy as jnp
     from vers_tpu.index.ivfflat import IVFFlatIndex
     from vers_tpu.ops.pallas_topk import distance_topk
-    from vers_tpu.core import round_up
+    from vers_tpu.core import round_up, to_device
     from vers_tpu.utils.data import dataset_path, load_wiki_vector, synthetic_gaussian
     from vers_tpu.utils.harness import recall_at_k
     from vers_tpu.utils.profiling import timed_device, tunnel_canary
@@ -109,7 +109,10 @@ def main():
     # ground truth on device (exact fused scan)
     n = vectors.shape[0]
     n_pad = round_up(n, 128)
-    corpus = jnp.asarray(np.pad(vectors, ((0, n_pad - n), (0, 0))))
+    # sliced upload (core.to_device): a single >~1GB host->device
+    # transfer wedges the axon tunnel for all clients (CLAUDE.md), and
+    # BENCH_N=1M x 300 is 1.2GB
+    corpus = to_device(np.pad(vectors, ((0, n_pad - n), (0, 0))))
     qdev = jnp.asarray(queries)
     td, ti = distance_topk(qdev, corpus, n, TOP_K)
     truth = np.asarray(ti)
@@ -211,10 +214,15 @@ def main():
 
     rng_c = np.random.default_rng(0)
     cent0 = vectors[rng_c.choice(n, K_CLUSTERS, replace=False)].copy()
+    # at 1M-scale a full timed iteration is minutes on this 1-core
+    # host; time a row slice and scale (the pass is linear in rows)
+    n_proxy = min(n, 200_000)
     t0 = time.perf_counter()
-    cent1 = lloyd_iter(vectors, cent0)
-    lloyd_iter(vectors, cent1)
-    cpu_build_proxy_s = (time.perf_counter() - t0) / 2 * (2 * 10)
+    cent1 = lloyd_iter(vectors[:n_proxy], cent0)
+    lloyd_iter(vectors[:n_proxy], cent1)
+    cpu_build_proxy_s = (
+        (time.perf_counter() - t0) / 2 * (2 * 10) * (n / n_proxy)
+    )
     log(f"cpu build proxy (extrapolated 2x10 Lloyd iters): "
         f"{cpu_build_proxy_s:.1f}s")
 

@@ -38,7 +38,7 @@ def main():
         jax.config.update("jax_platforms", os.environ["VERS_PLATFORM"])
     import jax.numpy as jnp
 
-    from vers_tpu.core import round_up
+    from vers_tpu.core import round_up, to_device
     from vers_tpu.index.hnsw import HNSWIndex
     from vers_tpu.ops.pallas_topk import distance_topk
     from vers_tpu.utils.data import synthetic_gaussian
@@ -61,7 +61,8 @@ def main():
         query_noise=0.5,
     )
     n_pad = round_up(n, 128)
-    corpus = jnp.asarray(np.pad(vectors, ((0, n_pad - n), (0, 0))))
+    # sliced upload: a single >~1GB transfer wedges the tunnel (1M x 300)
+    corpus = to_device(np.pad(vectors, ((0, n_pad - n), (0, 0))))
     qd = jnp.asarray(queries)
     _, ti = distance_topk(qd, corpus, n, 10)
     truth = np.asarray(ti)

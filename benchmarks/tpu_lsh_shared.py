@@ -73,8 +73,14 @@ def main():
     build_s = time.perf_counter() - t0
     log(f"build: {build_s:.1f}s ({TREES} trees, max_node={MAX_NODE})")
 
+    # probe sweep (VERDICT r4 #4: the 1M quality-throughput curve) —
+    # "auto" = deficit-rule emulation, integers = fixed probes/tree
+    specs = []
+    for s in os.environ.get("BENCH_PROBES", "auto,4").split(","):
+        s = s.strip()
+        specs.append(("auto", None) if s == "auto" else (f"p{s}", int(s)))
     rows = {}
-    for label, probes in (("auto", None), ("p4", 4)):
+    for label, probes in specs:
         res = idx.search_batch(qdev, TOP_K, probes_per_tree=probes)
         rec = recall_at_k(res.ids, truth)
         t_q, _ = timed_device(
@@ -92,9 +98,10 @@ def main():
         n=n, d=DIM, q=Q, trees=TREES, max_node=MAX_NODE,
         build_s=round(build_s, 1),
         canary_s=round(canary, 4),
-        qps_auto=round(rows["auto"][0]), recall_auto=round(rows["auto"][1], 4),
-        qps_p4=round(rows["p4"][0]), recall_p4=round(rows["p4"][1], 4),
     )
+    for label, (qps, rc) in rows.items():
+        rec[f"qps_{label}"] = round(qps)
+        rec[f"recall_{label}"] = round(float(rc), 4)
     with open(os.path.join(os.path.dirname(__file__), "tpu_results.jsonl"),
               "a") as f:
         f.write(json.dumps(rec) + "\n")

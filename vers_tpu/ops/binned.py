@@ -16,6 +16,7 @@ rectangles.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, Sequence
 
 import numpy as np
@@ -375,6 +376,41 @@ def merge_probe_results(all_d, all_i, top_k: int, dedup: bool = True):
             dup = jnp.take_along_axis(dup_sorted, rank, axis=1)
         all_d = jnp.where(dup, jnp.inf, all_d)
     if w <= 64:
+        return _rank_select_topk(all_d, all_i, top_k)
+    if (
+        top_k <= 32 and w % top_k == 0
+        and os.environ.get("VERS_MERGE_TOURNAMENT", "1") == "1"
+    ):
+        # Tournament of BATCHED pairwise rank-selects (the nprobe=8
+        # tail, VERDICT r4 #5): top-k of a union is the top-k of the
+        # halves' top-ks, so fold rank pairs (Q, p*k) ->
+        # (Q*p/2, 2k)-select-> (Q, p/2*k) until the width fits one
+        # final select. Compare volume at p=8, k=10 is
+        # (4+2+1)*(2k)^2 = 2800/query vs 6400 for a flat w=80 select
+        # (and vs the three row-wise XLA sorts of topk_smallest, the
+        # measured slow path) — and every level is ONE fused VPU op
+        # over a p/2-times-larger batch, the shape TPUs like.
+        q_n = all_d.shape[0]
+        p = w // top_k
+        while p > 1 and p * top_k > 64:
+            if p % 2:
+                all_d = jnp.pad(
+                    all_d, ((0, 0), (0, top_k)), constant_values=jnp.inf
+                )
+                all_i = jnp.pad(
+                    all_i, ((0, 0), (0, top_k)), constant_values=-1
+                )
+                p += 1
+            all_d, all_i = _rank_select_topk(
+                all_d.reshape(q_n * p // 2, 2 * top_k),
+                all_i.reshape(q_n * p // 2, 2 * top_k),
+                top_k,
+            )
+            p //= 2
+            all_d = all_d.reshape(q_n, p * top_k)
+            all_i = all_i.reshape(q_n, p * top_k)
+        if p == 1:
+            return all_d, all_i
         return _rank_select_topk(all_d, all_i, top_k)
     fin_d, sel = topk_smallest(all_d, top_k)
     fin_i = jnp.take_along_axis(all_i, sel, axis=1)
