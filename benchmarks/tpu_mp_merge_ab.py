@@ -60,7 +60,10 @@ for p in nprobes:
     out[str(p)] = dict(
         qps=int(q_n / t),
         recall=round(float(recall_at_k(ids, truth)), 4),
-        ids_hash=int(np.int64(np.sum(ids * 2654435761 %% (2**31)))),
+        ids_hash=int(np.sum(
+            ids.astype(np.int64).ravel()
+            * (np.arange(ids.size, dtype=np.int64) * 2654435761 + 1)
+        ) %% np.int64(2**61 - 1)),
     )
     print(f"nprobe={p}: {out[str(p)]}", file=sys.stderr, flush=True)
 print(json.dumps(dict(canary=round(canary, 4), results=out)), flush=True)

@@ -132,6 +132,7 @@ def test_inline_table_layout(graph):
     )
 
 
+@pytest.mark.slow
 def test_hnsw_index_inline_engine():
     """HNSWIndex with config.nav_inline_dp: same API, recall within a
     point of the classic gather beam on a small batched build.
@@ -162,6 +163,7 @@ def test_hnsw_index_inline_engine():
     assert rec_inline > 0.9, rec_inline
 
 
+@pytest.mark.slow
 def test_inline_device_add_consistency():
     """Incremental add on an inline-enabled device-built index keeps
     the inline table consistent: the new vector is searchable (its
@@ -272,9 +274,9 @@ def test_auto_policy_off_at_small_n_in_cache():
     from vers_tpu.utils.data import synthetic_gaussian
 
     x, q = synthetic_gaussian(
-        1500, 64, n_clusters=32, n_queries=32, seed=3, normalized=True,
+        700, 48, n_clusters=32, n_queries=32, seed=3, normalized=True,
         query_noise=0.5,
     )
-    h = HNSWIndex.build_index_batched(4, 48, 32, 8, x, seed=0)
+    h = HNSWIndex.build_index_batched(4, 32, 24, 8, x, seed=0)
     h.search_batch(q, 10)
     assert h._device_cache["inline"] is None

@@ -253,3 +253,40 @@ def test_pallas_gated_sentinel_ranks_masked():
     np.testing.assert_allclose(
         np.asarray(d3), np.asarray(d4), rtol=1e-5, atol=1e-5
     )
+
+
+def test_merge_tournament_matches_sort_path():
+    """w = p*k > 64 routes through the batched pairwise rank-select
+    tournament (VERDICT r4 #5); outputs must be BIT-identical to the
+    flat topk_smallest path including tie order, for both dedup modes
+    and odd rank counts."""
+    import jax.numpy as jnp
+    from vers_tpu.ops.binned import merge_probe_results
+    from vers_tpu.ops.topk import topk_smallest
+
+    rng = np.random.default_rng(7)
+    for p, k, dedup in [(8, 10, False), (8, 10, True), (7, 10, False),
+                        (16, 6, True)]:
+        w, q_n = p * k, 129
+        d = rng.integers(0, 40, size=(q_n, w)).astype(np.float32)  # ties
+        i = rng.integers(0, 200, size=(q_n, w)).astype(np.int32)
+        sent = rng.random((q_n, w)) < 0.05
+        d[sent], i[sent] = np.inf, -1
+        got_d, got_i = merge_probe_results(
+            jnp.asarray(d), jnp.asarray(i), k, dedup=dedup
+        )
+        dd = d.copy()
+        if dedup:
+            for q in range(q_n):
+                seen = set()
+                for j in range(w):
+                    if i[q, j] >= 0:
+                        if i[q, j] in seen:
+                            dd[q, j] = np.inf
+                        else:
+                            seen.add(i[q, j])
+        fd, sel = topk_smallest(jnp.asarray(dd), k)
+        fi = jnp.take_along_axis(jnp.asarray(i), sel, axis=1)
+        fi = jnp.where(jnp.isfinite(fd), fi, -1)
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(fi))
+        np.testing.assert_allclose(np.asarray(got_d), np.asarray(fd))

@@ -1,12 +1,15 @@
 """Shared-corpus RP-forest search — single-chip memory parity with the
 reference.
 
-The stacked forest layout (`index/lsh._combined_host_arrays`) holds one
-bin-major CORPUS COPY PER TREE, and the Pallas path regroups that into a
-second padded copy — ~2·T corpus footprints. The Rust reference stores
-the corpus ONCE and trees hold only ids (`vers/src/indexes/lsh.rs:44,53`),
-so its 1M x 300 8-tree forest lives in ~1.2GB where the stacked device
-layout needs ~20GB: structurally impossible on a 16GB chip.
+The stacked forest layout (removed in r5; the pre-r5 device layout)
+held one bin-major CORPUS COPY PER TREE, and the Pallas path regrouped
+that into a second padded copy — ~2·T corpus footprints. The Rust
+reference stores the corpus ONCE and trees hold only ids
+(`vers/src/indexes/lsh.rs:44,53`), so its 1M x 300 8-tree forest lives
+in ~1.2GB where the stacked device layout needed ~20GB: structurally
+impossible on a 16GB chip. Every layer (single-chip `index/lsh`,
+query-sharded `parallel/lsh`, corpus-partitioned
+`parallel/lsh_partitioned`) now routes through this module.
 
 This module keeps ONE device corpus and makes every per-tree table an
 INDEX table:
