@@ -75,3 +75,41 @@ def test_descend_forest_multiprobe(rng):
     assert (p3[:, 1] != p3[:, 0]).mean() > 0.8
     # multiprobe recall: the flipped leaves are valid bucket ids
     assert (p3 >= 0).all()
+
+
+def test_descend_forest_flat_matches_dense(rng):
+    """The packed hyperplane layout (descend_forest_flat, r5 — the
+    dense (T, L, TC, d) tables were ~95% padding and OOMed HBM at 1M x
+    16 trees) routes every (query, probe) to the SAME bin as the dense
+    path, including multiprobe flips."""
+    import jax
+
+    from vers_tpu.index.lsh import ANNIndex
+
+    n, d = 900, 20
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    idx = ANNIndex.build_index(3, 24, x, np.arange(n))
+    # exercise the host insert path too (slot growth keeps contiguity)
+    for j in range(40):
+        idx.add(x[j] * 0.98 + 0.02, n + j)
+    coeffs, consts, splits, buckets = idx._stacked_descent_tables()
+    cf, cn, cb, sp2, bk2 = idx._flat_descent_tables()
+    np.testing.assert_array_equal(sp2, splits)
+    from vers_tpu.ops.forest_shared import shared_tree_tables
+
+    tt = shared_tree_tables(
+        [tr.leaf_of_vec for tr in idx._trees],
+        [tr.num_buckets for tr in idx._trees], 256,
+    )
+    offsets = jnp.asarray(tt["offsets"])
+    q = jnp.asarray(x[:64])
+    for p in (1, 3):
+        dense = np.asarray(rpforest.descend_forest(
+            q, jnp.asarray(coeffs), jnp.asarray(consts),
+            jnp.asarray(splits), jnp.asarray(buckets), offsets, p,
+        ))
+        flat = np.asarray(rpforest.descend_forest_flat(
+            q, jnp.asarray(cf), jnp.asarray(cn), jnp.asarray(cb),
+            jnp.asarray(sp2), jnp.asarray(bk2), offsets, p,
+        ))
+        np.testing.assert_array_equal(dense, flat)

@@ -110,6 +110,43 @@ class ANNIndex(Index):
             buckets[i, :l, :sc] = t.bucket
         return coeffs, consts, splits, buckets
 
+    def _flat_descent_tables(self):
+        """Packed hyperplane tables for `rpforest.descend_forest_flat`:
+        (coeff_flat (total, d) f32, const_flat (total,) f32,
+        cbase (T, L) i32, splits (T, L, SC) i32, buckets (T, L, SC)
+        i32). Test slots are allocated contiguously per level (device
+        builder: cumsum slots, `ops/rpforest.build_tree`; host inserts:
+        next-free `_alloc_inner`), so level l's live rows are
+        0..max(split_l)+1. The dense (T, L, TC, d) layout this replaces
+        was ~95% padding at 1M scale (2.2GB @ 8 trees; HBM OOM @ 16)."""
+        T = len(self._trees)
+        L = max(t.coeff.shape[0] for t in self._trees)
+        SC = max(t.split.shape[1] for t in self._trees)
+        splits = np.full((T, L, SC), -1, np.int32)
+        buckets = np.full((T, L, SC), -1, np.int32)
+        nt = np.zeros((T, L), np.int64)
+        for i, t in enumerate(self._trees):
+            l_t, sc_t = t.split.shape
+            splits[i, :l_t, :sc_t] = t.split
+            buckets[i, :l_t, :sc_t] = t.bucket
+            for l in range(l_t):
+                m = t.split[l]
+                nt[i, l] = int(m.max()) + 1 if (m >= 0).any() else 0
+        total = max(int(nt.sum()), 1)
+        coeff_flat = np.zeros((total, self.dim), np.float32)
+        const_flat = np.zeros((total,), np.float32)
+        cbase = np.zeros((T, L), np.int32)
+        pos = 0
+        for i, t in enumerate(self._trees):
+            for l in range(t.coeff.shape[0]):
+                k = int(nt[i, l])
+                cbase[i, l] = pos
+                coeff_flat[pos : pos + k] = t.coeff[l, :k]
+                const_flat[pos : pos + k] = t.const[l, :k]
+                pos += k
+            cbase[i, t.coeff.shape[0] :] = pos
+        return coeff_flat, const_flat, cbase, splits, buckets
+
     def _max_bin(self) -> int:
         return max(
             (len(m) for t in self._trees for m in t.members), default=1
@@ -144,15 +181,16 @@ class ANNIndex(Index):
                 np.pad(self._values, ((0, n_pad - n), (0, d_pad - d)))
             )
             xx = jnp.sum(corpus_pad.astype(jnp.float32) ** 2, axis=1)
-        coeffs, consts, splits, buckets = self._stacked_descent_tables()
+        coeff_flat, const_flat, cbase, splits, buckets = (
+            self._flat_descent_tables()
+        )
         self._shared = dict(
             r_blk=r_blk,
             corpus_pad=corpus_pad,
             xx=xx,
-            # the stacked hyperplane tables are ~2.2GB at 1M x 300 x 8
-            # trees (dense (T, L, TC, d)); slice the upload
-            coeffs=to_device(coeffs),
-            consts=jnp.asarray(consts),
+            coeffs=to_device(coeff_flat),
+            consts=jnp.asarray(const_flat),
+            cbase=jnp.asarray(cbase),
             splits=jnp.asarray(splits),
             buckets=jnp.asarray(buckets),
             offsets=jnp.asarray(t["offsets"]),
@@ -538,8 +576,9 @@ class ANNIndex(Index):
             )
 
             dists, internal = forest_search_shared_pallas(
-                qdev, sh["coeffs"], sh["consts"], sh["splits"],
-                sh["buckets"], sh["offsets"], sh["sizes_dev"],
+                qdev, sh["coeffs"], sh["consts"], sh["cbase"],
+                sh["splits"], sh["buckets"], sh["offsets"],
+                sh["sizes_dev"],
                 sh["corpus_pad"], sh["xx"], sh["src"], sh["rbin"],
                 sh["g_first"],
                 n_probes=n_probes, num_bins=sh["num_bins"], top_k=top_k,
@@ -549,8 +588,9 @@ class ANNIndex(Index):
             from vers_tpu.ops.forest_shared import forest_search_shared_xla
 
             dists, internal = forest_search_shared_xla(
-                qdev, sh["coeffs"], sh["consts"], sh["splits"],
-                sh["buckets"], sh["offsets"], sh["sizes_dev"],
+                qdev, sh["coeffs"], sh["consts"], sh["cbase"],
+                sh["splits"], sh["buckets"], sh["offsets"],
+                sh["sizes_dev"],
                 sh["corpus_pad"], sh["order"], sh["rbin_sorted"],
                 sh["g_first"], sh["g_rstart"],
                 n_probes=n_probes, num_bins=sh["num_bins"], top_k=top_k,

@@ -169,7 +169,7 @@ def _deficit_gate(probes, sizes, num_bins: int, n_probes: int,
 )
 def forest_search_shared_pallas(
     queries,        # (Q, d)
-    coeffs, consts, splits, buckets, offsets,   # stacked descent tables
+    coeff_flat, const_flat, cbase, splits, buckets, offsets,  # packed
     sizes_dev,      # (num_bins,) int32 leaf sizes (deficit gate)
     corpus_pad,     # (n_pad, d_pad) the ONE corpus copy (cols zero-pad)
     xx,             # (n_pad,) squared norms
@@ -192,14 +192,14 @@ def forest_search_shared_pallas(
     for all trees, then lax.scan over trees — gather the tree's padded
     corpus view, run the packed-scan kernel, dedup-merge into the
     running top-k. Returns (dists (Q, k) f32, original rows (Q, k))."""
-    probes = rpforest.descend_forest(
-        queries, coeffs, consts, splits, buckets, offsets,
+    probes = rpforest.descend_forest_flat(
+        queries, coeff_flat, const_flat, cbase, splits, buckets, offsets,
         n_probes=n_probes,
     )
     if deficit_k:
         probes = _deficit_gate(probes, sizes_dev, num_bins, n_probes,
                                deficit_k)
-    T = coeffs.shape[0]
+    T = splits.shape[0]
     q_n = queries.shape[0]
     n_pad = corpus_pad.shape[0]
     probes_t = jnp.transpose(
@@ -253,7 +253,7 @@ def forest_search_shared_pallas(
 )
 def forest_search_shared_xla(
     queries,
-    coeffs, consts, splits, buckets, offsets,
+    coeff_flat, const_flat, cbase, splits, buckets, offsets,
     sizes_dev,
     corpus_pad,     # (n_pad, d) the ONE corpus copy
     order,          # (T, n_pad) tree-sorted pos -> original row
@@ -272,14 +272,14 @@ def forest_search_shared_xla(
     """Shared-corpus forest query on the XLA packed scan (non-TPU /
     large-k engine). Same structure as the Pallas variant; the per-tree
     gather materialises the tree's bin-major corpus view."""
-    probes = rpforest.descend_forest(
-        queries, coeffs, consts, splits, buckets, offsets,
+    probes = rpforest.descend_forest_flat(
+        queries, coeff_flat, const_flat, cbase, splits, buckets, offsets,
         n_probes=n_probes,
     )
     if deficit_k:
         probes = _deficit_gate(probes, sizes_dev, num_bins, n_probes,
                                deficit_k)
-    T = coeffs.shape[0]
+    T = splits.shape[0]
     q_n = queries.shape[0]
     n_pad, d_pad = corpus_pad.shape
     probes_t = jnp.transpose(

@@ -261,6 +261,73 @@ def _descend_once(queries, coeff, const, split, bucket, flip_level):
     return out, margins.T  # (Q,), (Q, L)
 
 
+def _descend_once_flat(queries, coeff_flat, const_flat, cbase_t, split,
+                       bucket, flip_level):
+    """`_descend_once` on the PACKED hyperplane layout: hyperplanes of
+    all trees/levels live in one (total_tests, d) array; ``cbase_t``
+    (L,) maps this tree's level l to its first row. Identical routing
+    (same coefficients, same tie rules) — the dense (T, L, TC, d)
+    layout is mostly padding (~2.2GB at 1M x 300 x 8 trees, HBM OOM at
+    16 trees) while the packed one is the sum of actual inner nodes
+    (~24MB per 1M-row tree)."""
+    q_n = queries.shape[0]
+    total = coeff_flat.shape[0]
+    L, s_cap = split.shape
+
+    def level(carry, inp):
+        v, out = carry
+        l, cb_l, split_l, bucket_l = inp
+        alive = v >= 0
+        vc = jnp.clip(v, 0, s_cap - 1)
+        my_split = jnp.where(alive, split_l[vc], -1)
+        my_bucket = jnp.where(alive, bucket_l[vc], -1)
+        row = jnp.clip(cb_l + jnp.clip(my_split, 0, None), 0, total - 1)
+        c = jnp.take(coeff_flat, row, axis=0)
+        proj = jnp.sum(queries * c, axis=1) + jnp.take(const_flat, row)
+        side = (proj >= 0.0).astype(jnp.int32)
+        side = jnp.where(flip_level == l, 1 - side, side)
+        margin = jnp.where(alive & (my_split >= 0), jnp.abs(proj), jnp.inf)
+        out = jnp.where(alive & (my_bucket >= 0), my_bucket, out)
+        v = jnp.where(alive & (my_split >= 0), 2 * my_split + side, -1)
+        return (v, out), margin
+
+    init = (jnp.zeros((q_n,), jnp.int32), jnp.full((q_n,), -1, jnp.int32))
+    (_, out), margins = jax.lax.scan(
+        level,
+        init,
+        (jnp.arange(L, dtype=jnp.int32), cbase_t, split, bucket),
+    )
+    return out, margins.T  # (Q,), (Q, L)
+
+
+@functools.partial(jax.jit, static_argnames=("n_probes",))
+def descend_forest_flat(queries, coeff_flat, const_flat, cbase, splits,
+                        buckets, offsets, n_probes: int):
+    """`descend_forest` on the packed hyperplane layout (see
+    `_descend_once_flat`): cbase (T, L) int32, splits/buckets
+    (T, L, SC) int32, offsets (T,). Returns (Q, T*n_probes) bins —
+    identical to the dense variant's output."""
+    T = splits.shape[0]
+    q_n = queries.shape[0]
+    outs = []
+    for t in range(T):
+        main, margins = _descend_once_flat(
+            queries, coeff_flat, const_flat, cbase[t], splits[t],
+            buckets[t], jnp.full((q_n,), -1, jnp.int32),
+        )
+        outs.append(main + offsets[t])
+        if n_probes > 1:
+            order = jnp.argsort(margins, axis=1)  # ascending margin
+            for j in range(1, n_probes):
+                fl = order[:, j - 1].astype(jnp.int32)
+                bj, _ = _descend_once_flat(
+                    queries, coeff_flat, const_flat, cbase[t], splits[t],
+                    buckets[t], fl,
+                )
+                outs.append(jnp.where(bj >= 0, bj + offsets[t], outs[-1]))
+    return jnp.stack(outs, axis=1)
+
+
 @functools.partial(jax.jit, static_argnames=("n_probes",))
 def descend_forest(queries, coeffs, consts, splits, buckets, offsets,
                    n_probes: int):

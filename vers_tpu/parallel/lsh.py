@@ -113,28 +113,29 @@ class ShardedANNIndex:
                 forest_search_shared_pallas,
             )
 
-            def local(qs, coeffs, consts, splits, buckets, offsets,
+            def local(qs, cf, cn, cb, splits, buckets, offsets,
                       sizes_dev, corpus_pad, xx, src, rbin, g_first):
                 return forest_search_shared_pallas(
-                    qs, coeffs, consts, splits, buckets, offsets,
+                    qs, cf, cn, cb, splits, buckets, offsets,
                     sizes_dev, corpus_pad, xx, src, rbin, g_first,
                     n_probes=n_probes, num_bins=sh["num_bins"],
                     top_k=top_k, deficit_k=deficit_k, **plan,
                 )
 
             reps = (
-                sh["coeffs"], sh["consts"], sh["splits"], sh["buckets"],
-                sh["offsets"], sh["sizes_dev"], sh["corpus_pad"],
-                sh["xx"], sh["src"], sh["rbin"], sh["g_first"],
+                sh["coeffs"], sh["consts"], sh["cbase"], sh["splits"],
+                sh["buckets"], sh["offsets"], sh["sizes_dev"],
+                sh["corpus_pad"], sh["xx"], sh["src"], sh["rbin"],
+                sh["g_first"],
             )
         else:
             from vers_tpu.ops.forest_shared import forest_search_shared_xla
 
-            def local(qs, coeffs, consts, splits, buckets, offsets,
+            def local(qs, cf, cn, cb, splits, buckets, offsets,
                       sizes_dev, corpus_pad, order, rbin_sorted,
                       g_first, g_rstart):
                 return forest_search_shared_xla(
-                    qs, coeffs, consts, splits, buckets, offsets,
+                    qs, cf, cn, cb, splits, buckets, offsets,
                     sizes_dev, corpus_pad, order, rbin_sorted,
                     g_first, g_rstart,
                     n_probes=n_probes, num_bins=sh["num_bins"],
@@ -142,10 +143,10 @@ class ShardedANNIndex:
                 )
 
             reps = (
-                sh["coeffs"], sh["consts"], sh["splits"], sh["buckets"],
-                sh["offsets"], sh["sizes_dev"], sh["corpus_pad"],
-                sh["order"], sh["rbin_sorted"], sh["g_first"],
-                sh["g_rstart"],
+                sh["coeffs"], sh["consts"], sh["cbase"], sh["splits"],
+                sh["buckets"], sh["offsets"], sh["sizes_dev"],
+                sh["corpus_pad"], sh["order"], sh["rbin_sorted"],
+                sh["g_first"], sh["g_rstart"],
             )
 
         fn = shard_map(

@@ -57,8 +57,9 @@ from vers_tpu.parallel.partitioned import PartitionedIndexBase
 )
 def _partitioned_forest_search_shared(
     queries,    # (Q, d) replicated
-    coeffs,     # (S, T, L, TC, d) row-sharded on axis 0
-    consts,     # (S, T, L, TC)
+    coeffs,     # (S, maxlen, d) PACKED hyperplanes, row-sharded axis 0
+    consts,     # (S, maxlen)
+    cbase,      # (S, T, L) first packed row per (tree, level)
     splits,     # (S, T, L, SC)
     buckets,    # (S, T, L, SC)
     offsets,    # (S, T)
@@ -80,15 +81,15 @@ def _partitioned_forest_search_shared(
 ):
     plan_kw = dict(plan)
 
-    def local(q, cf, cn, sp, bk, of, sz, co, x2, ta, tb, gf, gr):
+    def local(q, cf, cn, cb, sp, bk, of, sz, co, x2, ta, tb, gf, gr):
         if engine == "pallas":
             from vers_tpu.ops.forest_shared import (
                 forest_search_shared_pallas,
             )
 
             d, internal = forest_search_shared_pallas(
-                q, cf[0], cn[0], sp[0], bk[0], of[0], sz[0], co, x2,
-                ta[0], tb[0], gf[0],
+                q, cf[0], cn[0], cb[0], sp[0], bk[0], of[0], sz[0],
+                co, x2, ta[0], tb[0], gf[0],
                 n_probes=n_probes, num_bins=num_bins, top_k=top_k,
                 deficit_k=deficit_k, **plan_kw,
             )
@@ -96,8 +97,8 @@ def _partitioned_forest_search_shared(
             from vers_tpu.ops.forest_shared import forest_search_shared_xla
 
             d, internal = forest_search_shared_xla(
-                q, cf[0], cn[0], sp[0], bk[0], of[0], sz[0], co,
-                ta[0], tb[0], gf[0], gr[0],
+                q, cf[0], cn[0], cb[0], sp[0], bk[0], of[0], sz[0],
+                co, ta[0], tb[0], gf[0], gr[0],
                 n_probes=n_probes, num_bins=num_bins, top_k=top_k,
                 deficit_k=deficit_k, **plan_kw,
             )
@@ -107,12 +108,12 @@ def _partitioned_forest_search_shared(
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(),) + (P(SHARD_AXIS),) * 12,
+        in_specs=(P(),) + (P(SHARD_AXIS),) * 13,
         out_specs=(P(None, SHARD_AXIS), P(None, SHARD_AXIS)),
         check_vma=False,
     )
     all_d, all_i = fn(
-        queries, coeffs, consts, splits, buckets, offsets, sizes,
+        queries, coeffs, consts, cbase, splits, buckets, offsets, sizes,
         corpus, xx, t_a, t_b, g_first, g_rstart,
     )
     fin_d, sel = topk_smallest(all_d, top_k)
@@ -192,9 +193,10 @@ class PartitionedANNIndex(PartitionedIndexBase):
         T = len(trees[0])
         if any(len(t) != T for t in trees):
             raise ValueError("all shards must share num_trees")
-        L = max(t.coeff.shape[0] for ts in trees for t in ts)
-        TC = max(t.coeff.shape[1] for ts in trees for t in ts)
-        SC = max(t.split.shape[1] for ts in trees for t in ts)
+        flats = [s._flat_descent_tables() for s in self.shards]
+        L = max(f[2].shape[1] for f in flats)
+        SC = max(f[3].shape[2] for f in flats)
+        maxlen = max(f[0].shape[0] for f in flats)
         kb = max(
             sum(t.num_buckets for t in ts) for ts in trees
         )
@@ -204,8 +206,9 @@ class PartitionedANNIndex(PartitionedIndexBase):
             max(s._values.shape[0] for s in self.shards), 128
         )
 
-        coeffs = np.zeros((n_shards, T, L, TC, d), np.float32)
-        consts = np.zeros((n_shards, T, L, TC), np.float32)
+        coeffs = np.zeros((n_shards, maxlen, d), np.float32)
+        consts = np.zeros((n_shards, maxlen), np.float32)
+        cbase = np.zeros((n_shards, T, L), np.int32)
         splits = np.full((n_shards, T, L, SC), -1, np.int32)
         buckets = np.full((n_shards, T, L, SC), -1, np.int32)
         offsets = np.zeros((n_shards, T), np.int32)
@@ -213,11 +216,13 @@ class PartitionedANNIndex(PartitionedIndexBase):
         corpus = np.zeros((n_shards * pern, d_pad), np.float32)
         row_to_gid = np.full((n_shards * pern,), -1, np.int64)
         for s, shard in enumerate(self.shards):
-            cf, cn, sp, bk = shard._stacked_descent_tables()
-            _, l, tc, _ = cf.shape
-            sc = sp.shape[2]
-            coeffs[s, :, :l, :tc] = cf
-            consts[s, :, :l, :tc] = cn
+            cf, cn, cb, sp, bk = flats[s]
+            ln = cf.shape[0]
+            l, sc = sp.shape[1], sp.shape[2]
+            coeffs[s, :ln] = cf
+            consts[s, :ln] = cn
+            cbase[s, :, :l] = cb
+            cbase[s, :, l:] = cb[:, -1:] if l else 0
             splits[s, :, :l, :sc] = sp
             buckets[s, :, :l, :sc] = bk
             off = 0
@@ -236,6 +241,7 @@ class PartitionedANNIndex(PartitionedIndexBase):
         self._device_cache = dict(
             coeffs=jax.device_put(coeffs, sh),
             consts=jax.device_put(consts, sh),
+            cbase=jax.device_put(cbase, sh),
             splits=jax.device_put(splits, sh),
             buckets=jax.device_put(buckets, sh),
             offsets=jax.device_put(offsets, sh),
@@ -382,8 +388,9 @@ class PartitionedANNIndex(PartitionedIndexBase):
             qdev = jnp.asarray(q)
         bd, bi = _partitioned_forest_search_shared(
             qdev,
-            cache["coeffs"], cache["consts"], cache["splits"],
-            cache["buckets"], cache["offsets"], cache["sizes"],
+            cache["coeffs"], cache["consts"], cache["cbase"],
+            cache["splits"], cache["buckets"], cache["offsets"],
+            cache["sizes"],
             cache["corpus"], cache["xx"],
             tbl["t_a"], tbl["t_b"], tbl["g_first"], tbl["g_rstart"],
             self.mesh,
