@@ -767,7 +767,13 @@ def build_graph(
         return np.zeros((0,), np.int64), [dict() for _ in range(num_layers)]
     slack = slack if slack is not None else max(m, 8)
     if beam_steps == "auto":
-        beam_steps = max(24, 2 * math.ceil(ef_construction / max(1, expand)))
+        # ceil(efc/expand) lockstep steps fill the candidate pool once;
+        # the 2x margin the r4 auto carried is measured recall-neutral
+        # at the scale where it costs: 1M x 300 ref params, steps 26 ->
+        # 13 = warm 518.2s -> 425.1s at recall 0.937 -> 0.9363
+        # (tpu_results hnsw_build_steps_ab, same-day control). The
+        # floor keeps small-efc builds from under-filling.
+        beam_steps = max(12, math.ceil(ef_construction / max(1, expand)))
     if route_steps == "auto":
         # routing beams only need to land an entry point: 16 lockstep
         # steps measured recall-positive vs the 64-step tail at 100k
