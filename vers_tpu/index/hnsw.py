@@ -407,7 +407,7 @@ class HNSWIndex(Index):
         num_neighbours: int,
         vectors: np.ndarray,
         seed: int = 0,
-        wave_cap: int = 1024,
+        wave_cap: int | str = "auto",
         **build_kwargs,
     ) -> "HNSWIndex":
         """TPU wave-parallel construction (`vers_tpu.ops.hnsw_build`):
@@ -444,7 +444,7 @@ class HNSWIndex(Index):
         corpus,
         n_valid: Optional[int] = None,
         seed: int = 0,
-        wave_cap: int = 1024,
+        wave_cap: int | str = "auto",
         **build_kwargs,
     ) -> "HNSWIndex":
         """Fully device-resident build: ``corpus`` is an (n_pad, d) f32

@@ -696,7 +696,7 @@ def build_graph(
     ef_construction: int,
     m: int,
     seed: int = 0,
-    wave_cap: int = 1024,
+    wave_cap: int | str = "auto",
     slack: int | None = None,
     n_valid: int | None = None,
     expand: int = 8,
@@ -766,6 +766,16 @@ def build_graph(
             return np.zeros((0,), np.int64), [empty] * num_layers
         return np.zeros((0,), np.int64), [dict() for _ in range(num_layers)]
     slack = slack if slack is not None else max(m, 8)
+    if wave_cap == "auto":
+        # measured at 1M x 300, ref params, same-day (hnsw_build_steps_ab
+        # 2026-08-21): wave 2048 = 425.1s, 4096 = 380.3s, 8192 = 397.0s
+        # at recall 0.9363/0.9356/0.9354 — bigger waves amortize the
+        # per-wave fixed costs until intra-wave freezing stops paying.
+        # Small builds keep smaller waves (more growth steps, and the
+        # r2 100k measurements favored <=2048).
+        wave_cap = 4096 if n >= 512_000 else (
+            2048 if n >= 64_000 else 1024
+        )
     if beam_steps == "auto":
         # ceil(efc/expand) lockstep steps fill the candidate pool once;
         # the 2x margin the r4 auto carried is measured recall-neutral
