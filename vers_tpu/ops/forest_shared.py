@@ -36,7 +36,7 @@ leaves; top-k tie order may differ).
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 import jax
