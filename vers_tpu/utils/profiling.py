@@ -86,14 +86,32 @@ def tunnel_canary(calls: int = 3) -> float:
     return (time.perf_counter() - t0) / max(calls, 1)
 
 
-def enable_compilation_cache(path: str = "/tmp/vers_tpu_jax_cache") -> None:
+def enable_compilation_cache(path: str | None = None) -> None:
     """Persistent jit-compilation cache. On this hardware the index
     builds EXECUTE in ~0.1s but their first compile takes minutes via
     the remote compile service — the cache makes every later process
-    reuse compiled executables. Call early (before first jit)."""
+    reuse compiled executables. Call early (before first jit).
+
+    Default location is ``.jax_cache/`` at the repo root (override via
+    ``VERS_JAX_CACHE``), NOT /tmp: periodic /tmp wipes cold-started the
+    whole program set twice (2026-08-20 end-of-round, 2026-08-21 r5) and
+    a cold first jit can queue 13+ min behind other tenants' remote
+    compiles. Falls back to /tmp/vers_tpu_jax_cache if the repo dir
+    isn't writable."""
     import os
 
-    os.makedirs(path, exist_ok=True)
+    if path is None:
+        path = os.environ.get("VERS_JAX_CACHE")
+    if path is None:
+        repo = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        path = os.path.join(repo, ".jax_cache")
+    try:
+        os.makedirs(path, exist_ok=True)
+    except OSError:
+        path = "/tmp/vers_tpu_jax_cache"
+        os.makedirs(path, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         # persist EVERYTHING, including sub-second programs: on this
